@@ -1,0 +1,96 @@
+"""The queries()/oracle_sql() registry behind __spark_entry__.py.
+
+Each entry is (spark_fn, duckdb_sql | None). Column names are aliased
+identically on both sides — the driver sorts columns by name before
+value-hashing.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_opinion_analysis_spark import oracles
+from dataflow_opinion_analysis_spark.functions import lexicon
+from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
+
+
+def _outputs(spark: SparkSession, sf_dir: str):
+    t = derive_transcripts(spark, sf_dir)
+    return build_indexer(t)
+
+
+def q_indexer_document(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `document` fact table (IndexerPipeline.java:709-736) produced by
+    the full pipeline: ingest -> exact dedupe -> NLP tags -> soft dedupe."""
+    out = _outputs(spark, sf_dir)
+    return out.document.select(
+        "DocumentHash",
+        "PublicationTime",
+        "PublicationDateId",
+        "DocumentCollectionId",
+        "CollectionItemId",
+        "Title",
+        "Type",
+        "Language",
+        "ContentLength",
+        "Author",
+        "Text",
+        "MainWebResourceHash",
+        "ParentWebResourceHash",
+    )
+
+
+def q_indexer_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `sentiment` fact table (IndexerPipeline.java:743-784): one row
+    per opinion passage with all 17 St* dims from the vectorized scorer."""
+    out = _outputs(spark, sf_dir)
+    st = [lexicon.DIM_TO_COLUMN[d] for d in sorted(lexicon.LEXICON)]
+    return out.sentiment.select(
+        "SentimentHash",
+        "DocumentHash",
+        "DocumentTime",
+        "DocumentDateId",
+        "Text",
+        "SentimentTotalScore",
+        "DominantValence",
+        *st,
+        "StSentiment",
+        "MainWebResourceHash",
+        "ParentWebResourceHash",
+        F.array_join("Signals", ";").alias("SignalsStr"),
+    )
+
+
+def q_indexer_webresource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The `webresource` fact table (IndexerPipeline.java:684-703): union of
+    indexed winners + exact dupes + skipped + soft dupes, with DocumentHash
+    re-pointed to the dedupe winner for dupe rows."""
+    out = _outputs(spark, sf_dir)
+    return out.webresource.select(
+        "WebResourceHash",
+        "Url",
+        "PublicationTime",
+        "PublicationDateId",
+        "ProcessingTime",
+        "ProcessingDateId",
+        "DocumentHash",
+        "DocumentCollectionId",
+        "CollectionItemId",
+        "Title",
+        "Domain",
+        "Author",
+        "ParentWebResourceHash",
+        F.coalesce(F.array_join("MetaFields", ","), F.lit("")).alias("MetaFieldsStr"),
+    )
+
+
+def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
+    return {
+        "indexer_document": (q_indexer_document, oracles.document_sql()),
+        "indexer_sentiment": (q_indexer_sentiment, oracles.sentiment_sql()),
+        "indexer_webresource": (q_indexer_webresource, oracles.webresource_sql()),
+    }

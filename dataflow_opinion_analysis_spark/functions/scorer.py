@@ -1,0 +1,151 @@
+"""Vectorized opinion scorer — the Sirocco-equivalent indexing stage.
+
+Replaces the reference's per-document Java NLP call
+(``IndexerPipeline.java:998-1060``, Sirocco ``Indexer.index`` at ``:1033``)
+with Arrow-batched pandas transforms: sentence segmentation, token
+explosion, lexicon merge, pivoted per-dim counts. No per-row Python —
+everything is pandas C-level string/merge/groupby ops over whole record
+batches (north_star: "never per-row Python").
+
+Two entry points, both ``mapInPandas`` stages:
+
+- ``score_passages(df)``   1 document -> N sentiment-passage rows
+  (the reference's ``GetSentiments`` fan-out, ``IndexerPipeline.java:1398-1450``)
+- ``extract_tags(df)``     1 document -> 1 row with Tags array
+  (top-K frequent non-stopword tokens; reference tags come from Sirocco)
+
+Determinism contract: scores are pure functions of the text (see
+``functions/lexicon.py``), so goldens and the DuckDB oracle reproduce them
+exactly.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from dataflow_opinion_analysis_spark import schemas
+from dataflow_opinion_analysis_spark.functions import lexicon
+
+# lexicon as a pandas frame, built once per python worker (module import),
+# mirroring the reference's @StartBundle client pooling
+# (IndexerPipeline.java:1679-1699)
+_LEX_DF = pd.DataFrame(lexicon.LEXICON_PAIRS, columns=["token", "dim"])
+
+SENTENCE_SPLIT_RE = r"[.!?]+"
+
+# output schema (DDL) of score_passages: keys + passage + 17 dims + extras
+PASSAGE_SCHEMA = (
+    "document_hash string, conv_id string, turn_idx int, "
+    "passage_idx int, passage_text string, "
+    + ", ".join(f"{lexicon.DIM_TO_COLUMN[d]} int" for d in sorted(lexicon.LEXICON))
+    + ", StSentiment int, SentimentTotalScore int, DominantValence int, "
+    "Signals array<string>"
+)
+
+TAGS_SCHEMA = "document_hash string, Tags array<struct<Tag:string,Weight:double,GoodAsTopic:boolean>>"
+
+
+def _tokenize(texts: pd.Series) -> pd.DataFrame:
+    """Explode a text Series into (orig_pos, token) rows — all C-level."""
+    toks = texts.str.lower().str.findall(lexicon.TOKEN_RE)
+    e = toks.explode().dropna()
+    return pd.DataFrame({"pos": e.index, "token": e.values})
+
+
+def _split_sentences(pdf: pd.DataFrame) -> pd.DataFrame:
+    """1 doc row -> N sentence rows with passage_idx (1-based)."""
+    s = pdf["text"].fillna("").str.split(SENTENCE_SPLIT_RE)
+    e = s.explode()
+    e = e.str.strip()
+    keep = e.str.len() > 0
+    e = e[keep]
+    out = pdf.loc[e.index, ["document_hash", "conv_id", "turn_idx"]].copy()
+    out["passage_text"] = e.values
+    out["passage_idx"] = out.groupby(level=0).cumcount().astype("int32") + 1
+    return out.reset_index(drop=True)
+
+
+def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    """Score one Arrow batch of documents -> passage rows with hits."""
+    sent = _split_sentences(pdf)
+    if sent.empty:
+        return pd.DataFrame(columns=_passage_columns())
+
+    tok = _tokenize(sent["passage_text"])
+    hits = tok.merge(_LEX_DF, on="token", how="inner")
+    if hits.empty:
+        return pd.DataFrame(columns=_passage_columns())
+
+    counts = (
+        hits.groupby(["pos", "dim"]).size().unstack(fill_value=0)
+    )
+    for d in lexicon.LEXICON:
+        if d not in counts.columns:
+            counts[d] = 0
+    # signals: sorted distinct 'dim:token' fired per passage
+    hits["sig"] = hits["dim"] + ":" + hits["token"]
+    signals = hits.groupby("pos")["sig"].apply(lambda s: sorted(set(s)))
+
+    out = sent.loc[counts.index].copy()
+    for d in sorted(lexicon.LEXICON):
+        out[lexicon.DIM_TO_COLUMN[d]] = counts[d].astype("int32")
+    out["StSentiment"] = (out["StPositive"] + out["StNegative"]).astype("int32")
+    st_cols = [lexicon.DIM_TO_COLUMN[d] for d in sorted(lexicon.LEXICON)] + ["StSentiment"]
+    out["SentimentTotalScore"] = out[st_cols].sum(axis=1).astype("int32")
+    pos_gt = out["StPositive"] > out["StNegative"]
+    neg_gt = out["StNegative"] > out["StPositive"]
+    eq_pos = (out["StPositive"] == out["StNegative"]) & (out["StPositive"] > 0)
+    out["DominantValence"] = (
+        pos_gt * schemas.VALENCE_POSITIVE
+        + neg_gt * schemas.VALENCE_NEGATIVE
+        + eq_pos * schemas.VALENCE_AMBIGUOUS
+    ).astype("int32")
+    out.loc[out["DominantValence"] == 0, "DominantValence"] = schemas.VALENCE_GENERAL
+    out["Signals"] = signals
+    # only passages with at least one hit are opinions
+    out = out[out["SentimentTotalScore"] > 0]
+    return out[_passage_columns()]
+
+
+def _passage_columns() -> list[str]:
+    return (
+        ["document_hash", "conv_id", "turn_idx", "passage_idx", "passage_text"]
+        + [lexicon.DIM_TO_COLUMN[d] for d in sorted(lexicon.LEXICON)]
+        + ["StSentiment", "SentimentTotalScore", "DominantValence", "Signals"]
+    )
+
+
+def score_passages_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield _score_batch(pdf)
+
+
+def _tags_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+    tok = _tokenize(pdf["text"].fillna(""))
+    tok = tok[
+        (tok["token"].str.len() >= lexicon.TAG_MIN_LEN)
+        & ~tok["token"].isin(lexicon.TAG_STOPWORDS)
+    ]
+    if tok.empty:
+        return pd.DataFrame({"document_hash": pdf["document_hash"], "Tags": [[] for _ in range(len(pdf))]})
+    cnt = tok.groupby(["pos", "token"]).size().reset_index(name="n")
+    # top-K by (count desc, token asc) — fully deterministic
+    cnt = cnt.sort_values(["pos", "n", "token"], ascending=[True, False, True])
+    cnt["rk"] = cnt.groupby("pos").cumcount()
+    cnt = cnt[cnt["rk"] < lexicon.TAG_TOP_K]
+    blocked = set(lexicon.TOPIC_BLOCKLIST)
+    cnt["tag"] = list(
+        zip(cnt["token"], cnt["n"].astype("float64"), ~cnt["token"].isin(blocked))
+    )
+    tags = cnt.groupby("pos")["tag"].apply(list)
+    out = pd.DataFrame({"document_hash": pdf["document_hash"]})
+    out["Tags"] = out.index.map(tags)
+    out["Tags"] = out["Tags"].apply(lambda v: v if isinstance(v, list) else [])
+    return out
+
+
+def extract_tags_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    for pdf in batches:
+        yield _tags_batch(pdf)

@@ -1,0 +1,124 @@
+"""Deduplication operators — the reference's signature stateful logic.
+
+D1 exact dedupe   <- EliminateInputContentDupes, IndexerPipeline.java:868-901
+D2 soft dedupe    <- EliminateTextDupes,        IndexerPipeline.java:910-989
+
+The reference's "first element of the group" is Java-iteration-order
+nondeterministic (a reproducibility bug, IndexerPipeline.java:893-898); we
+replace it with the smallest (conv_id, turn_idx) — a documented deviation
+required for row-for-row goldens (FIXTURES.md §4).
+
+Both operators shuffle exactly once, on their group key. At 100 TB the
+exact-dedupe key (content hash) is near-unique so the shuffle is balanced
+by construction; the soft-dedupe key (title, length-bucket) can be hot, so
+the streaming variant salts it (streaming/pipeline.py) and batch relies on
+AQE skew-split.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def exact_dedupe(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """D1: one winner per content_hash; losers keep a pointer to the
+    winner's document hash (so their webresource rows re-point).
+
+    Returns (winners, dupes); ``dupes`` carries ``winner_document_hash``.
+    """
+    w = Window.partitionBy("content_hash").orderBy("conv_id", "turn_idx")
+    ranked = input_content.withColumn("_rn", F.row_number().over(w)).withColumn(
+        "winner_document_hash", F.first("expected_document_hash").over(w)
+    )
+    winners = ranked.filter(F.col("_rn") == 1).drop("_rn", "winner_document_hash")
+    dupes = ranked.filter(F.col("_rn") > 1).drop("_rn")
+    return winners, dupes
+
+
+# ---------------------------------------------------------------------------
+# D2 soft (near-duplicate) dedupe — the reference's tag-vote rule
+# ---------------------------------------------------------------------------
+
+# composite soft key (GetContentIndexSummaryKeyFn, IndexerPipeline.java:1587-1610):
+#   (title or 'No Title', round(contentLength / 1000))
+def with_soft_key(indexed: DataFrame) -> DataFrame:
+    return indexed.withColumn(
+        "soft_title", F.coalesce(F.col("title"), F.lit("No Title"))
+    ).withColumn("len_bucket", F.round(F.length(F.col("text")) / 1000.0).cast("int"))
+
+
+def _soft_dedupe_group(pdf: pd.DataFrame) -> pd.DataFrame:
+    """The vote rule (IndexerPipeline.java:910-989), vectorized per group:
+
+    1. per-tag occurrence counts across the group;
+    2. minTagOccurences = max(round(groupSize/2), 2)            (:942)
+    3. a doc "matches" if >=50% of its tags are group-frequent AND
+       at least 2 tags matched                                   (:957)
+    4. among matching docs the SHORTEST text wins (tie: smallest
+       (conv_id, turn_idx)); the others are emitted as dupes re-keyed to
+       the winner's hash                                         (:961-984)
+    5. non-matching docs pass through.
+
+    Input rows carry document_hash, conv_id, turn_idx, text_len, tags
+    (list of tag strings). Output adds is_dupe + winner_document_hash.
+    """
+    n = len(pdf)
+    out = pdf[["document_hash", "conv_id", "turn_idx"]].copy()
+    out["is_dupe"] = False
+    out["winner_document_hash"] = pdf["document_hash"]
+    if n < 2:
+        return out
+
+    tag_lists = pdf["tag_names"].apply(lambda v: list(v) if v is not None else [])
+    exploded = tag_lists.explode().dropna()
+    if exploded.empty:
+        return out
+    tag_counts = exploded.value_counts()
+    min_occ = max(round(n / 2), 2)
+    frequent = set(tag_counts[tag_counts >= min_occ].index)
+
+    def matched(tags: list) -> bool:
+        if not tags:
+            return False
+        m = sum(1 for t in tags if t in frequent)
+        return m >= 2 and m >= 0.5 * len(tags)
+
+    is_match = tag_lists.apply(matched).to_numpy()
+    if is_match.sum() < 2:
+        return out
+
+    grp = pdf[is_match].sort_values(["text_len", "conv_id", "turn_idx"])
+    winner_hash = grp.iloc[0]["document_hash"]
+    losers = grp.index[grp["document_hash"] != winner_hash]
+    out.loc[losers, "is_dupe"] = True
+    out.loc[losers, "winner_document_hash"] = winner_hash
+    return out
+
+
+SOFT_DEDUPE_SCHEMA = (
+    "document_hash string, conv_id string, turn_idx int, "
+    "is_dupe boolean, winner_document_hash string"
+)
+
+
+def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
+    """Apply the vote rule per (soft_title, len_bucket) group.
+
+    Input needs: document_hash, conv_id, turn_idx, title, text, and a
+    ``tag_names`` array<string> column. Returns the verdict frame keyed by
+    document_hash (join it back to route winners vs dupes).
+    """
+    keyed = with_soft_key(indexed_with_tags).select(
+        F.col("expected_document_hash").alias("document_hash"),
+        "conv_id",
+        "turn_idx",
+        "soft_title",
+        "len_bucket",
+        F.length("text").alias("text_len"),
+        "tag_names",
+    )
+    return keyed.groupBy("soft_title", "len_bucket").applyInPandas(
+        lambda pdf: _soft_dedupe_group(pdf), SOFT_DEDUPE_SCHEMA
+    )

@@ -1,0 +1,115 @@
+"""Fan-out of the indexed stream into the star-schema tables.
+
+The reference does this with one multi-output ParDo
+(``CreateTableRowsFromIndexSummaryFn``, IndexerPipeline.java:1335-1452) plus
+two webresource-only variants for skipped items (:1491-1530) and soft-dupes
+(:1455-1489, DocumentHash re-pointed to the winner). In Spark each output
+table is a ``select`` off the shared upstream plan — Catalyst prunes the
+columns each branch needs, and the upstream is persisted once when all
+three sinks are materialized in the same job.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dataflow_opinion_analysis_spark import hashes, schemas
+
+
+def webresource_rows(input_content: DataFrame, document_hash_col: str = "expected_document_hash") -> DataFrame:
+    """One webresource row per turn (posting). For dupes pass
+    ``document_hash_col='winner_document_hash'`` — the re-pointing of
+    CreateWebresourceTableRowFromDupeIndexSummaryFn (IndexerPipeline.java:1455-1489)."""
+    return input_content.select(
+        F.col("web_resource_hash").alias("WebResourceHash"),
+        F.col("url").alias("Url"),
+        F.col("pub_time").alias("PublicationTime"),
+        F.col("pub_date_id").alias("PublicationDateId"),
+        F.col("processing_time").alias("ProcessingTime"),
+        F.col("processing_date_id").alias("ProcessingDateId"),
+        F.col(document_hash_col).alias("DocumentHash"),
+        F.col("document_collection_id").alias("DocumentCollectionId"),
+        F.col("collection_item_id").alias("CollectionItemId"),
+        F.col("title").alias("Title"),
+        # Domain of a conv:// url is the conversation id
+        F.col("conv_id").alias("Domain"),
+        F.col("author").alias("Author"),
+        F.col("parent_web_resource_hash").alias("ParentWebResourceHash"),
+        F.col("meta_fields").alias("MetaFields"),
+    )
+
+
+def document_rows(winners_with_tags: DataFrame) -> DataFrame:
+    """One document row per unique indexed text (IndexerPipeline.java:709-736).
+
+    Type: SHORTTEXT when < 400 chars else ARTICLE (the reference takes this
+    from the content-type option; we derive it deterministically).
+    """
+    return winners_with_tags.select(
+        F.col("expected_document_hash").alias("DocumentHash"),
+        F.col("pub_time").alias("PublicationTime"),
+        F.col("pub_date_id").alias("PublicationDateId"),
+        F.col("processing_time").alias("ProcessingTime"),
+        F.col("processing_date_id").alias("ProcessingDateId"),
+        F.col("document_collection_id").alias("DocumentCollectionId"),
+        F.col("collection_item_id").alias("CollectionItemId"),
+        F.col("title").alias("Title"),
+        F.when(F.length("text") < 400, F.lit(schemas.DOC_TYPE_SHORTTEXT))
+        .otherwise(F.lit(schemas.DOC_TYPE_ARTICLE))
+        .alias("Type"),
+        F.col("language").alias("Language"),
+        F.lit(1).alias("ParseDepth"),
+        F.length("text").alias("ContentLength"),
+        F.col("author").alias("Author"),
+        F.col("text").alias("Text"),
+        F.col("web_resource_hash").alias("MainWebResourceHash"),
+        F.col("parent_web_resource_hash").alias("ParentWebResourceHash"),
+        F.col("Tags"),
+    )
+
+
+def sentiment_rows(passages: DataFrame, winners: DataFrame, tags: DataFrame | None = None) -> DataFrame:
+    """Join scored passages back to their document keys
+    (IndexerPipeline.java:1398-1450 builds these same fields)."""
+    doc_side = winners.select(
+        F.col("expected_document_hash").alias("document_hash"),
+        F.col("pub_time"),
+        F.col("pub_date_id"),
+        F.col("web_resource_hash"),
+        F.col("parent_web_resource_hash"),
+    )
+    df = passages.join(doc_side, "document_hash", "inner")
+    if tags is not None:
+        df = df.join(
+            tags.select(F.col("document_hash"), F.col("Tags")), "document_hash", "left"
+        )
+    else:
+        df = df.withColumn("Tags", F.lit(None).cast(schemas.SENTIMENT["Tags"].dataType))
+    return df.select(
+        hashes.sentiment_hash(
+            F.col("document_hash"),
+            F.concat(F.col("passage_idx").cast("string"), F.lit(hashes.SEP), F.col("passage_text")),
+        ).alias("SentimentHash"),
+        F.col("document_hash").alias("DocumentHash"),
+        F.col("pub_time").alias("DocumentTime"),
+        F.col("pub_date_id").alias("DocumentDateId"),
+        F.col("passage_text").alias("Text"),
+        F.lit(None).cast("string").alias("LabelledPositions"),
+        F.col("passage_text").alias("AnnotatedText"),
+        F.concat(F.lit("<p>"), F.col("passage_text"), F.lit("</p>")).alias("AnnotatedHtml"),
+        F.col("SentimentTotalScore"),
+        F.col("DominantValence"),
+        *[F.col(c) for c in schemas.ST_COLUMNS],
+        F.col("web_resource_hash").alias("MainWebResourceHash"),
+        F.col("parent_web_resource_hash").alias("ParentWebResourceHash"),
+        F.transform(
+            F.coalesce(F.col("Tags"), F.array().cast(schemas.SENTIMENT["Tags"].dataType)),
+            lambda t: F.struct(
+                t["Tag"].alias("Tag"),
+                F.lit(None).cast("double").alias("Weight"),
+                t["GoodAsTopic"].alias("GoodAsTopic"),
+            ),
+        ).alias("Tags"),
+        F.col("Signals"),
+    )
