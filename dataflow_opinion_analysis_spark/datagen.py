@@ -65,25 +65,20 @@ def generate_transcripts(
     # roles cycle; tool name on 'tool' turns
     role_cycle = np.array(["user", "assistant", "tool"])
     role = role_cycle[turn_idx % 3]
-    tool = np.where(role == "tool", "tool-" + (conv_num % 5).astype(str), None)
+    tool_names = np.char.add("tool-", (conv_num % 5).astype("U1"))
+    tool = np.where(role == "tool", tool_names, None)
 
     # texts: 3 template slots from seeded choices
-    pos = rng.choice(_POS, size=n)
-    neg = rng.choice(_NEG, size=n)
-    neu1 = rng.choice(_NEU, size=n)
-    neu2 = rng.choice(_NEU, size=n)
-    emo = rng.choice(_EMO, size=n)
+    pos = pd.Series(rng.choice(_POS, size=n), dtype=object)
+    neg = pd.Series(rng.choice(_NEG, size=n), dtype=object)
+    neu1 = pd.Series(rng.choice(_NEU, size=n), dtype=object)
+    neu2 = pd.Series(rng.choice(_NEU, size=n), dtype=object)
+    emo = pd.Series(rng.choice(_EMO, size=n), dtype=object)
     flavor = rng.integers(0, 3, size=n)
-    base = np.where(
-        flavor == 0,
-        "the " + neu1 + " " + neu2 + " is " + pos + " and shows " + emo,
-        np.where(
-            flavor == 1,
-            "this " + neu1 + " was " + neg + " during the " + neu2 + " run",
-            "we saw the " + neu1 + " " + neu2 + " behave with " + emo + " today",
-        ),
-    )
-    text = base.astype(object)
+    t0 = "the " + neu1 + " " + neu2 + " is " + pos + " and shows " + emo
+    t1 = "this " + neu1 + " was " + neg + " during the " + neu2 + " run"
+    t2 = "we saw the " + neu1 + " " + neu2 + " behave with " + emo + " today"
+    text = t0.where(flavor == 0, t1.where(flavor == 1, t2)).to_numpy(dtype=object)
 
     # exact duplicates: copy text of the previous row
     r = rng.random(n)
@@ -115,7 +110,9 @@ def generate_transcripts(
             "role": pd.Series(role, dtype="string[pyarrow]"),
             "text": pd.Series(text, dtype="string[pyarrow]"),
             "tool": pd.Series(tool, dtype="string[pyarrow]"),
-            "ts": pd.to_datetime(ts_sec, unit="s"),
+            # tz-aware UTC so parquet marks isAdjustedToUTC and Spark 4
+            # reads TIMESTAMP (not TIMESTAMP_NTZ)
+            "ts": pd.to_datetime(ts_sec, unit="s", utc=True),
         }
     )
 
@@ -135,6 +132,10 @@ def write_transcripts_parquet(
 
     os.makedirs(out_dir, exist_ok=True)
     pdf = generate_transcripts(n_convs=n_convs, avg_turns=avg_turns, seed=seed, **kw)
+    # arrival order ~= event-time order (how a real stream lands); the
+    # injected out-of-order/late rows keep their perturbed ts, so they stay
+    # genuinely out of order relative to their neighbors
+    pdf = pdf.sort_values("ts", kind="stable").reset_index(drop=True)
     tbl = pa.Table.from_pandas(pdf, preserve_index=False)
     # cast to the exact physical schema (int32 turn_idx, us timestamps)
     tbl = tbl.cast(
@@ -145,7 +146,7 @@ def write_transcripts_parquet(
                 pa.field("role", pa.string()),
                 pa.field("text", pa.string()),
                 pa.field("tool", pa.string()),
-                pa.field("ts", pa.timestamp("us"), nullable=False),
+                pa.field("ts", pa.timestamp("us", tz="UTC"), nullable=False),
             ]
         )
     )

@@ -12,8 +12,9 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dataflow_opinion_analysis_spark import oracles
+from dataflow_opinion_analysis_spark import oracles, oracles_stats
 from dataflow_opinion_analysis_spark.functions import lexicon
+from dataflow_opinion_analysis_spark.plans import stats
 from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
 from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
 
@@ -21,6 +22,19 @@ from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcrip
 def _outputs(spark: SparkSession, sf_dir: str):
     t = derive_transcripts(spark, sf_dir)
     return build_indexer(t)
+
+
+def _stats_query(name: str):
+    """stat-layer query over the fact tables produced by the full
+    indexer pipeline (StatsCalcPipelineUtils.java ports — plans/stats.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        out = _outputs(spark, sf_dir)
+        stats.register_views(spark, out.document, out.sentiment, out.webresource)
+        return spark.sql(stats.STATS_QUERIES[name])
+
+    run.__doc__ = f"stats layer: {name} (see plans/stats.py)"
+    return run
 
 
 def q_indexer_document(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -89,8 +103,11 @@ def q_indexer_webresource(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
-    return {
+    reg: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
         "indexer_document": (q_indexer_document, oracles.document_sql()),
         "indexer_sentiment": (q_indexer_sentiment, oracles.sentiment_sql()),
         "indexer_webresource": (q_indexer_webresource, oracles.webresource_sql()),
     }
+    for name, sql in oracles_stats.STATS_ORACLES.items():
+        reg[f"stats_{name}"] = (_stats_query(name), sql)
+    return reg

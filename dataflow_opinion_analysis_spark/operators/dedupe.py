@@ -28,7 +28,12 @@ def exact_dedupe(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Returns (winners, dupes); ``dupes`` carries ``winner_document_hash``.
     """
-    w = Window.partitionBy("content_hash").orderBy("conv_id", "turn_idx")
+    # winner = earliest event time (ties: smallest conv_id, turn_idx).
+    # Event-time-first keeps the batch rule consistent with streaming
+    # first-seen order (micro-batches arrive in ~event-time order), so the
+    # two modes elect the same winner — the batch/stream equivalence test
+    # depends on this.
+    w = Window.partitionBy("content_hash").orderBy("pub_time", "conv_id", "turn_idx")
     ranked = input_content.withColumn("_rn", F.row_number().over(w)).withColumn(
         "winner_document_hash", F.first("expected_document_hash").over(w)
     )

@@ -21,11 +21,22 @@ from dataflow_opinion_analysis_spark import hashes, schemas
 TITLE_LEN = 80
 
 
-def derive_input_content(transcripts: DataFrame, processing_time: str = "2024-02-01 00:00:00") -> DataFrame:
+def derive_input_content(
+    transcripts: DataFrame,
+    processing_time: str = "2024-02-01 00:00:00",
+    parent_mode: str = "lag",
+) -> DataFrame:
     """Derive the InputContent columns (SURVEY.md §1.5 mapping table).
 
     ``processing_time`` is injected (never wall-clock) so goldens are
     stable — FIXTURES.md §4.
+
+    ``parent_mode``:
+      - "lag": batch — resolve the parent turn with a partitioned window
+        (parent is strictly turn_idx-1; a gap yields NULL, matching the
+        streaming seen-map semantics);
+      - "provided": streaming — the stateful thread assembler
+        (streaming/threads.py) already attached ``parent_ts``.
     """
     w = Window.partitionBy("conv_id").orderBy("turn_idx")
 
@@ -50,9 +61,34 @@ def derive_input_content(transcripts: DataFrame, processing_time: str = "2024-02
         # role='tool' turns are not indexed (skipIndexing policy flag,
         # reference FilterItemsToIndex IndexerPipeline.java:1634-1643)
         .withColumn("skip_indexing", F.when(F.col("role") == "tool", F.lit(1)).otherwise(F.lit(0)))
-        # thread reconstruction: parent = previous turn (J1)
-        .withColumn("parent_url", F.lag("url", 1).over(w))
-        .withColumn("parent_pub_time", F.lag("ts", 1).over(w))
+    )
+
+    # thread reconstruction: parent = strictly turn_idx-1 (J1). Batch uses a
+    # partitioned lag guarded by index adjacency; streaming provides
+    # parent_ts from the keyed state op.
+    if parent_mode == "lag":
+        adj = F.lag("turn_idx", 1).over(w) == F.col("turn_idx") - 1
+        df = df.withColumn(
+            "parent_pub_time", F.when(adj, F.lag("ts", 1).over(w))
+        )
+    elif parent_mode == "provided":
+        df = df.withColumn("parent_pub_time", F.col("parent_ts"))
+    else:
+        raise ValueError(parent_mode)
+
+    df = (
+        df.withColumn(
+            "parent_url",
+            F.when(
+                F.col("parent_pub_time").isNotNull(),
+                F.concat(
+                    F.lit("conv://"),
+                    F.col("conv_id"),
+                    F.lit("/"),
+                    (F.col("turn_idx") - 1).cast("string"),
+                ),
+            ),
+        )
         .withColumn(
             "meta_fields",
             F.when(F.col("tool").isNotNull(), F.array(F.col("tool"))).otherwise(

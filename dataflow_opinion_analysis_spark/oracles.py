@@ -55,9 +55,14 @@ ic0 AS (
     '05'                                                            AS document_collection_id,
     conv_id || ':' || cast(turn_idx AS varchar)                     AS collection_item_id,
     CASE WHEN role = 'tool' THEN 1 ELSE 0 END                       AS skip_indexing,
-    lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)           AS parent_pub_time,
-    lag('conv://' || conv_id || '/' || cast(turn_idx AS varchar))
-        OVER (PARTITION BY conv_id ORDER BY turn_idx)               AS parent_url
+    CASE WHEN lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              = turn_idx - 1
+         THEN lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+    END                                                             AS parent_pub_time,
+    CASE WHEN lag(turn_idx) OVER (PARTITION BY conv_id ORDER BY turn_idx)
+              = turn_idx - 1
+         THEN 'conv://' || conv_id || '/' || cast(turn_idx - 1 AS varchar)
+    END                                                             AS parent_url
   FROM transcripts t
   WHERE length(trim(coalesce(text, ''))) > 0
 ),
@@ -79,9 +84,9 @@ to_index AS (SELECT * FROM ic WHERE skip_indexing = 0),
 skipped  AS (SELECT * FROM ic WHERE skip_indexing <> 0),
 ranked AS (
   SELECT *,
-    row_number() OVER (PARTITION BY content_hash ORDER BY conv_id, turn_idx) AS _rn,
+    row_number() OVER (PARTITION BY content_hash ORDER BY pub_time, conv_id, turn_idx) AS _rn,
     first_value(expected_document_hash)
-      OVER (PARTITION BY content_hash ORDER BY conv_id, turn_idx)   AS winner_document_hash
+      OVER (PARTITION BY content_hash ORDER BY pub_time, conv_id, turn_idx) AS winner_document_hash
   FROM to_index
 ),
 winners     AS (SELECT * FROM ranked WHERE _rn = 1),

@@ -1,0 +1,256 @@
+"""The streaming indexer — north-rule production path.
+
+    readStream(transcripts) -> withWatermark(ts)
+      -> assemble_threads (keyed state: sessionized, turn_idx-ordered,
+         parent links, late-data routing)
+      -> foreachBatch:
+           derive InputContent (stateless columns)
+           exact dedupe      (in-batch window + cross-batch anti-join
+                              against the document sink on content_hash —
+                              the sink IS the dedupe state store, so it
+                              survives restarts for free)
+           vectorized scorer (tags + passages)
+           soft dedupe       (in-batch vote rule; cross-batch fingerprint
+                              variant in streaming/dedupe_state.py)
+           MERGE into webresource/document/sentiment MergeTables
+           (exactly-once: committed batch-ids + key anti-join)
+           append late-turn counts to a metrics table
+
+Checkpoint + resume: the file-stream source records per-file offsets in
+``checkpointLocation`` and the state store snapshots the keyed thread
+state — killing and restarting the query resumes without loss or
+duplication (tests/test_streaming.py), giving the per-partition lineage
+the north rule asks for (plus MergeTable's own per-batch file lineage).
+
+Equivalence contract vs batch (FIXTURES.md §4): for on-time input the
+sink tables match ``plans/indexer.build_indexer`` row-for-row; late
+turns (behind the watermark) are counted in ``metrics`` instead of sunk.
+"""
+
+from __future__ import annotations
+
+import os
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dataflow_opinion_analysis_spark import schemas
+from dataflow_opinion_analysis_spark.functions import scorer
+from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
+from dataflow_opinion_analysis_spark.sources.transcripts import read_transcripts_stream
+from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
+
+# extra column on the document sink: the exact-dedupe content hash, so
+# later micro-batches can anti-join against everything already indexed
+DOCUMENT_SINK_SCHEMA = schemas.DOCUMENT.add("content_hash", "string")
+
+METRICS_SCHEMA = (
+    "batch_id long, n_input long, n_ok long, n_late long, n_overflow long, "
+    "n_exact_dupes long, n_soft_dupes long, n_documents long, n_sentiments long, "
+    "max_event_ts timestamp"
+)
+
+
+# durable keyed dedupe state: first winner per content hash. Lives as a
+# MergeTable (not the document sink) because a winner eliminated later by
+# soft dedupe must STILL claim its content hash — otherwise a later
+# micro-batch would re-elect a different winner and webresource DocumentHash
+# pointers would diverge from the batch oracle.
+CONTENT_INDEX_SCHEMA = (
+    "content_hash string, winner_document_hash string, pub_date_id int"
+)
+
+
+@dataclass
+class IndexerSinks:
+    webresource: MergeTable
+    document: MergeTable
+    sentiment: MergeTable
+    content_index: MergeTable
+    metrics_dir: str
+
+    @classmethod
+    def create(cls, spark: SparkSession, root: str) -> "IndexerSinks":
+        return cls(
+            webresource=MergeTable(
+                spark, os.path.join(root, "webresource"),
+                key_cols=["WebResourceHash"], schema=schemas.WEBRESOURCE,
+                partition_col="PublicationDateId",
+            ),
+            document=MergeTable(
+                spark, os.path.join(root, "document"),
+                key_cols=["DocumentHash"], schema=DOCUMENT_SINK_SCHEMA,
+                partition_col="PublicationDateId",
+            ),
+            sentiment=MergeTable(
+                spark, os.path.join(root, "sentiment"),
+                key_cols=["SentimentHash"], schema=schemas.SENTIMENT,
+                partition_col="DocumentDateId",
+            ),
+            content_index=MergeTable(
+                spark, os.path.join(root, "content_index"),
+                key_cols=["content_hash"], schema=CONTENT_INDEX_SCHEMA,
+            ),
+            metrics_dir=os.path.join(root, "metrics"),
+        )
+
+
+def process_batch(
+    assembled: DataFrame,
+    batch_id: int,
+    sinks: IndexerSinks,
+    processing_time: str = "2024-02-01 00:00:00",
+    soft_dedupe_enabled: bool = True,
+) -> dict:
+    """One micro-batch of assembled turns -> MERGE commits. Pure function
+    of (batch content, sink state); replay-safe via MergeTable."""
+    spark = assembled.sparkSession
+    assembled = assembled.persist()
+    stats = assembled.agg(
+        F.count("*").alias("n_input"),
+        F.sum(F.when(F.col("status") == "late", 1).otherwise(0)).alias("n_late"),
+        F.sum(F.when(F.col("status") == "overflow", 1).otherwise(0)).alias("n_overflow"),
+        F.max("ts").alias("max_ts"),
+    ).collect()[0]
+    n_input = stats.n_input or 0
+    n_late = stats.n_late or 0
+    n_overflow = stats.n_overflow or 0
+    ontime = assembled.filter(F.col("status") != "late")
+
+    ic = ingest.derive_input_content(ontime, processing_time, parent_mode="provided")
+    to_index, skipped = ingest.split_skip_indexing(ic)
+
+    # exact dedupe (D1), cross-batch-consistent:
+    # 1. in-batch winners (same operator as batch mode);
+    # 2. claim unclaimed content hashes in the durable content index
+    #    (MERGE is insert-if-absent, so earlier batches always keep their
+    #    claim — exactly first-winner-by-event-time, since micro-batches
+    #    arrive in watermark order);
+    # 3. route EVERY row through the post-merge mapping: a row is a winner
+    #    iff the index maps its content hash to its own document hash.
+    #    This repoints in-batch dupes of already-claimed content to the
+    #    original winner, matching the batch-global oracle.
+    inbatch_winners, _ = dedupe.exact_dedupe(to_index)
+    sinks.content_index.merge(
+        inbatch_winners.select(
+            "content_hash",
+            F.col("expected_document_hash").alias("winner_document_hash"),
+            "pub_date_id",
+        ),
+        batch_id,
+    )
+    mapping = sinks.content_index.read().select("content_hash", "winner_document_hash")
+    routed = to_index.join(F.broadcast(mapping), "content_hash", "left")
+    winners = routed.filter(
+        F.col("expected_document_hash") == F.col("winner_document_hash")
+    ).drop("winner_document_hash")
+    exact_dupes = routed.filter(
+        F.col("expected_document_hash") != F.col("winner_document_hash")
+    )
+
+    winners = winners.persist()
+
+    doc_keyed = winners.select(
+        F.col("expected_document_hash").alias("document_hash"),
+        "conv_id", "turn_idx", "text",
+    )
+    tags = doc_keyed.mapInPandas(scorer.extract_tags_map, scorer.TAGS_SCHEMA).persist()
+    passages = doc_keyed.mapInPandas(scorer.score_passages_map, scorer.PASSAGE_SCHEMA)
+
+    winners_tagged = winners.join(
+        tags.select(
+            F.col("document_hash").alias("expected_document_hash"),
+            "Tags",
+            F.transform("Tags", lambda t: t["Tag"]).alias("tag_names"),
+        ),
+        "expected_document_hash",
+        "left",
+    )
+
+    if soft_dedupe_enabled:
+        verdict = dedupe.soft_dedupe(winners_tagged)
+        keep = verdict.filter(~F.col("is_dupe")).select("document_hash")
+        repoint = verdict.filter(F.col("is_dupe")).select("document_hash", "winner_document_hash")
+        soft_winners = winners_tagged.join(
+            keep.withColumnRenamed("document_hash", "expected_document_hash"),
+            "expected_document_hash", "left_semi",
+        )
+        soft_dupes = winners_tagged.join(
+            repoint.withColumnRenamed("document_hash", "expected_document_hash"),
+            "expected_document_hash", "inner",
+        )
+    else:
+        soft_winners, soft_dupes = winners_tagged, None
+
+    document = fanout.document_rows(soft_winners).join(
+        soft_winners.select(
+            F.col("expected_document_hash").alias("DocumentHash"), "content_hash"
+        ),
+        "DocumentHash",
+    )
+    sentiment = fanout.sentiment_rows(
+        passages.join(
+            soft_winners.select(F.col("expected_document_hash").alias("document_hash")),
+            "document_hash", "left_semi",
+        ),
+        soft_winners,
+        tags,
+    )
+    wr = fanout.webresource_rows(soft_winners)
+    wr = wr.unionByName(fanout.webresource_rows(exact_dupes, "winner_document_hash"))
+    wr = wr.unionByName(fanout.webresource_rows(skipped))
+    n_soft = 0
+    if soft_dupes is not None:
+        wr = wr.unionByName(fanout.webresource_rows(soft_dupes, "winner_document_hash"))
+
+    n_docs = sinks.document.merge(document, batch_id)
+    n_sents = sinks.sentiment.merge(sentiment, batch_id)
+    sinks.webresource.merge(wr, batch_id)
+
+    max_ts = stats.max_ts
+    # dupe counts are diagnostics only; -1 when skipped (recomputing them
+    # would re-run the scorer chain)
+    n_exact, n_soft = -1, -1
+    metrics = spark.createDataFrame(
+        [(int(batch_id), int(n_input), int(n_input - n_late - n_overflow),
+          int(n_late), int(n_overflow), int(n_exact), int(n_soft),
+          int(n_docs), int(n_sents), max_ts)],
+        METRICS_SCHEMA,
+    )
+    metrics.write.mode("append").parquet(sinks.metrics_dir)
+
+    winners.unpersist()
+    tags.unpersist()
+    assembled.unpersist()
+    return {"batch_id": batch_id, "n_input": n_input, "n_late": n_late,
+            "n_documents": n_docs, "n_sentiments": n_sents}
+
+
+def run_indexer_stream(
+    spark: SparkSession,
+    input_path: str,
+    out_root: str,
+    checkpoint_dir: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int | None = 1,
+    processing_time: str = "2024-02-01 00:00:00",
+    soft_dedupe_enabled: bool = True,
+):
+    """Start the streaming indexer; returns (query, sinks)."""
+    sinks = IndexerSinks.create(spark, out_root)
+    stream = read_transcripts_stream(spark, input_path, max_files_per_trigger)
+    from dataflow_opinion_analysis_spark.streaming.threads import assemble_threads
+
+    assembled = assemble_threads(stream.withWatermark("ts", watermark))
+
+    def _fb(df: DataFrame, bid: int):
+        process_batch(df, bid, sinks, processing_time, soft_dedupe_enabled)
+
+    q = (
+        assembled.writeStream.foreachBatch(_fb)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
+        .start()
+    )
+    return q, sinks

@@ -1,0 +1,187 @@
+"""Streaming = batch equivalence, exactly-once under replay, and
+checkpoint resume (FIXTURES.md §5.5-5.6, SURVEY.md §5.3)."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pyspark.sql.functions as F
+import pytest
+
+from dataflow_opinion_analysis_spark import datagen
+from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+from dataflow_opinion_analysis_spark.streaming.pipeline import IndexerSinks, run_indexer_stream
+from tests.conftest import normalize
+
+
+def _gen(tmp_path, n_convs=60, avg_turns=8, late_frac=0.0, out_of_order_frac=0.0, n_files=5):
+    path = str(tmp_path / "transcripts")
+    datagen.write_transcripts_parquet(
+        path, n_convs=n_convs, avg_turns=avg_turns, seed=7,
+        late_frac=late_frac, out_of_order_frac=out_of_order_frac, n_files=n_files,
+    )
+    return path
+
+
+def _append_flush(spark, path, ts="2030-01-01 00:00:00", turn_idx=0):
+    """A far-future sentinel turn that pushes the watermark past all real
+    data so pending state drains (excluded from comparisons)."""
+    spark.createDataFrame(
+        [("conv-flush", turn_idx, "user", "flush sentinel", None, datetime.datetime.fromisoformat(ts))],
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).coalesce(1).write.mode("append").parquet(path)
+
+
+def _run_stream(spark, path, out, ckpt, soft=True):
+    q, sinks = run_indexer_stream(
+        spark, path, str(out), str(ckpt), watermark="5 minutes",
+        max_files_per_trigger=2, soft_dedupe_enabled=soft,
+    )
+    q.processAllAvailable()
+    # the watermark advances one trigger behind the data: a second sentinel
+    # file forces one more micro-batch so every EventTimeTimeout fires and
+    # pending state drains completely
+    _append_flush(spark, path, "2030-01-01 01:00:00", turn_idx=1)
+    q.processAllAvailable()
+    q.stop()
+    return sinks
+
+
+def _no_flush(df, col="CollectionItemId"):
+    return df.filter(~F.col(col).startswith("conv-flush"))
+
+
+def test_stream_matches_batch(spark, tmp_path):
+    """Strict 3-table equality, soft dedupe OFF in both modes (the soft
+    vote rule is whole-dataset-scoped by definition, so per-micro-batch
+    streaming can only approximate it — covered by the next test)."""
+    path = _gen(tmp_path)
+    _append_flush(spark, path)
+    sinks = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt", soft=False)
+
+    tdf = spark.read.parquet(path)
+    batch = build_indexer(tdf, persist=True, soft_dedupe_enabled=False)
+
+    for name, stream_df, batch_df, cmp_cols in [
+        (
+            "webresource",
+            _no_flush(sinks.webresource.read()),
+            _no_flush(batch.webresource),
+            ["WebResourceHash", "Url", "DocumentHash", "CollectionItemId",
+             "Title", "Author", "ParentWebResourceHash", "PublicationDateId"],
+        ),
+        (
+            "document",
+            _no_flush(sinks.document.read().drop("content_hash")),
+            _no_flush(batch.document),
+            ["DocumentHash", "CollectionItemId", "Text", "ContentLength", "Title"],
+        ),
+        (
+            "sentiment",
+            sinks.sentiment.read(),
+            batch.sentiment,
+            ["SentimentHash", "DocumentHash", "Text", "SentimentTotalScore",
+             "DominantValence", "StPositive", "StNegative"],
+        ),
+    ]:
+        a = normalize(stream_df.select(cmp_cols).toPandas())
+        b = normalize(batch_df.select(cmp_cols).toPandas())
+        if name == "sentiment":
+            # drop flush sentinel (no lexicon hits -> none expected anyway)
+            pass
+        assert len(a) == len(b), f"{name}: {len(a)} vs {len(b)}"
+        pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_late_turns_counted_not_sunk(spark, tmp_path):
+    # one conversation, then a turn that arrives after the watermark passed
+    path = str(tmp_path / "t")
+    rows1 = [("c1", i, "user", f"turn {i} is great", None, (pd.Timestamp("2024-01-01 00:00:00") + pd.Timedelta(minutes=i)).to_pydatetime()) for i in range(3)]
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    spark.createDataFrame(rows1, schema).coalesce(1).write.mode("append").parquet(path)
+    # watermark pusher: far future
+    _append_flush(spark, path, "2024-06-01 00:00:00")
+    # late turn: event time way behind the watermark
+    spark.createDataFrame(
+        [("c1", 3, "user", "late turn is great", None, datetime.datetime(2024, 1, 1, 0, 1, 30))], schema
+    ).coalesce(1).write.mode("append").parquet(path)
+    _append_flush(spark, path, "2030-01-01 00:00:00")
+
+    sinks = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt")
+    wr = sinks.webresource.read()
+    assert wr.filter(F.col("CollectionItemId") == "c1:3").count() == 0, "late turn must not be sunk"
+    m = spark.read.parquet(sinks.metrics_dir)
+    assert m.agg(F.sum("n_late")).collect()[0][0] >= 1
+
+
+def test_exactly_once_replay(spark, tmp_path):
+    """Re-processing the same batches (fresh checkpoint, same sink) leaves
+    the sink unchanged — MERGE idempotence under replay."""
+    path = _gen(tmp_path, n_convs=20)
+    _append_flush(spark, path)
+    sinks = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt1")
+    counts1 = {
+        "wr": sinks.webresource.read().count(),
+        "doc": sinks.document.read().count(),
+        "sent": sinks.sentiment.read().count(),
+    }
+    # same input replayed into the SAME sink with a new checkpoint: every
+    # row re-delivered -> key anti-join must discard all of it
+    sinks2 = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt2")
+    counts2 = {
+        "wr": sinks2.webresource.read().count(),
+        "doc": sinks2.document.read().count(),
+        "sent": sinks2.sentiment.read().count(),
+    }
+    assert counts1 == counts2
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    """Kill after the first trigger, restart, end state matches a
+    single uninterrupted run."""
+    path = _gen(tmp_path, n_convs=30, n_files=6)
+    _append_flush(spark, path)
+
+    # run 1: process only the first trigger then stop (simulated kill)
+    q, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=2,
+    )
+    import time
+
+    while not q.recentProgress:
+        time.sleep(0.3)
+    q.stop()
+
+    # run 2: resume from the same checkpoint, drain
+    q2, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=2,
+    )
+    q2.processAllAvailable()
+    q2.stop()
+
+    # reference: uninterrupted run into a fresh sink
+    sinks_ref = _run_stream(spark, path, tmp_path / "out_ref", tmp_path / "ckpt_ref")
+
+    got = normalize(_no_flush(sinks.webresource.read()).select("WebResourceHash").toPandas())
+    want = normalize(_no_flush(sinks_ref.webresource.read()).select("WebResourceHash").toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_matches_batch_with_soft_dedupe_per_turn_texts(spark, tmp_path):
+    """With soft dedupe ON, the BASELINE invariant still holds: per-turn
+    text/key equality at the webresource level (every turn is sunk exactly
+    once with the same keys; only the DocumentHash re-pointing may differ
+    when a near-dup group spans micro-batches)."""
+    path = _gen(tmp_path, n_convs=40)
+    _append_flush(spark, path)
+    sinks = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt", soft=True)
+    batch = build_indexer(spark.read.parquet(path), persist=True, soft_dedupe_enabled=True)
+
+    cols = ["WebResourceHash", "Url", "CollectionItemId", "Title", "Author",
+            "ParentWebResourceHash", "PublicationDateId"]
+    a = normalize(_no_flush(sinks.webresource.read()).select(cols).toPandas())
+    b = normalize(_no_flush(batch.webresource).select(cols).toPandas())
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
