@@ -2,9 +2,15 @@
 """Benchmark runner. Prints ONE JSON line:
 {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
-Runs every registered query at $SPARK_GRAFT_SF_DIR (default
-/root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS], materializing each with
-a count(). `value` is total wall seconds across queries.
+Two parts:
+1. every registry query at $SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1)
+   on local[$SPARK_GRAFT_CPUS], materialized with count();
+2. the headline north-rule metric: the full indexer pipeline over a
+   deterministic generated transcripts table (~500k turns), reported as
+   `indexer_turns_per_sec` (also folded into `queries` as seconds).
+
+Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+`scripts/bench_scaling.py` -> BENCH/BASELINE.md.
 """
 
 from __future__ import annotations
@@ -12,10 +18,13 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
+
+BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "500000"))
 
 
 def main() -> int:
@@ -23,7 +32,8 @@ def main() -> int:
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = sf_dir.rstrip("/").split("sf")[-1]
 
-    from dataflow_opinion_analysis_spark import entry_queries
+    from dataflow_opinion_analysis_spark import datagen, entry_queries
+    from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
     from dataflow_opinion_analysis_spark.session import get_spark
 
     spark = get_spark(app_name="bench", master=f"local[{cpus}]")
@@ -38,6 +48,22 @@ def main() -> int:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # headline: end-to-end indexer throughput on generated transcripts
+    data = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{BENCH_TURNS}")
+    if not os.path.exists(os.path.join(data, "part-0000.parquet")):
+        datagen.write_transcripts_parquet(
+            data, n_convs=max(1000, BENCH_TURNS // 10), avg_turns=10, seed=42, n_files=64
+        )
+    t0 = time.perf_counter()
+    t = spark.read.parquet(data)
+    out = build_indexer(t, persist=True)
+    n_turns = out.webresource.count()
+    out.document.count()
+    out.sentiment.count()
+    wall = time.perf_counter() - t0
+    timings["indexer_pipeline_generated"] = round(wall, 3)
+    turns_per_sec = round(n_turns / wall, 1)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -47,6 +73,8 @@ def main() -> int:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "indexer_turns_per_sec": turns_per_sec,
+                "indexer_bench_turns": n_turns,
             }
         )
     )

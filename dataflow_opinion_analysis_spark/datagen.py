@@ -51,9 +51,11 @@ def generate_transcripts(
 
     # Zipf-ish turn counts, clipped, rescaled to hit ~n_convs*avg_turns total
     raw = rng.zipf(zipf_s, size=n_convs).astype(np.int64)
-    turns_per_conv = np.clip(raw, 1, 50 * avg_turns)
-    scale = max(1.0, (n_convs * avg_turns) / max(1, turns_per_conv.sum()))
-    turns_per_conv = np.maximum(1, (turns_per_conv * scale).astype(np.int64))
+    raw = np.clip(raw, 1, 50 * avg_turns)
+    # rescale (up OR down) toward the requested total, preserving the Zipf
+    # shape; min 1 turn per conversation
+    scale = (n_convs * avg_turns) / max(1, raw.sum())
+    turns_per_conv = np.maximum(1, (raw * scale).astype(np.int64))
 
     conv_num = np.repeat(np.arange(n_convs), turns_per_conv)
     n = conv_num.size
@@ -78,7 +80,17 @@ def generate_transcripts(
     t0 = "the " + neu1 + " " + neu2 + " is " + pos + " and shows " + emo
     t1 = "this " + neu1 + " was " + neg + " during the " + neu2 + " run"
     t2 = "we saw the " + neu1 + " " + neu2 + " behave with " + emo + " today"
-    text = t0.where(flavor == 0, t1.where(flavor == 1, t2)).to_numpy(dtype=object)
+    # a per-row suffix keeps texts unique (real corpora rarely collide), so
+    # only the *injected* dups below collapse in dedupe and the scorer sees
+    # a realistic document count
+    uniq = pd.Series(
+        np.char.add(
+            np.char.add(" case", conv_num.astype("U8")),
+            np.char.add(" step", turn_idx.astype("U6")),
+        ),
+        dtype=object,
+    )
+    text = (t0.where(flavor == 0, t1.where(flavor == 1, t2)) + uniq).to_numpy(dtype=object)
 
     # exact duplicates: copy text of the previous row
     r = rng.random(n)

@@ -110,4 +110,23 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     }
     for name, sql in oracles_stats.STATS_ORACLES.items():
         reg[f"stats_{name}"] = (_stats_query(name), sql)
+
+    from dataflow_opinion_analysis_spark import oracles_dataprep
+    from dataflow_opinion_analysis_spark.operators import dataprep, multimodal, similarity
+
+    dataprep_fns = {
+        "dedup_exact": dataprep.dedup_exact,
+        "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
+        "dedup_minhash_lsh": dataprep.dedup_minhash_lsh,
+        "dedup_simhash": dataprep.dedup_simhash,
+        "text_langid": dataprep.text_langid,
+        "text_quality": dataprep.text_quality,
+        "text_token_count": dataprep.text_token_count,
+        "text_fingerprint": dataprep.text_fingerprint,
+        "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
+        "similarity_ann_lsh": similarity.similarity_ann_lsh,
+        "multimodal_metadata": multimodal.multimodal_metadata,
+    }
+    for name, fn in dataprep_fns.items():
+        reg[name] = (fn, oracles_dataprep.DATAPREP_ORACLES.get(name))
     return reg

@@ -1,0 +1,305 @@
+"""Training-data pipeline operators over the `documents` table:
+deduplication (exact, n-gram Jaccard, MinHash+LSH, SimHash), text
+analysis (language-ID, quality scoring, token counting, fingerprinting).
+
+Everything here is pure Catalyst SQL — token/shingle explosion via
+higher-order functions (transform/sequence/slice), hashing via sha2 with
+a portable hex->bigint bridge (`conv(substr(sha2(s),1,8),16,10)`), joins
+and windows for the pairwise stages. No Python in the hot path at all.
+
+Scale notes (100 TB):
+- shingle inverted-index joins shuffle on the shingle key; frequency-cap
+  hot shingles (HAVING count <= F) in a real corpus to bound skew;
+- MinHash+LSH is the scale path: candidate pairs come from equi-joins on
+  band keys (16 bands x 2 rows), verified by exact Jaccard — the
+  classic banding scheme, all shuffle-friendly equi-joins;
+- SimHash pairs here use an all-pairs check (fine at fixture scale);
+  at scale you block on simhash prefix bytes first (same trick as LSH).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+TOKEN_RE = "[a-z0-9']+"
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.2
+MINHASH_K = 32
+LSH_BANDS = 16  # 16 bands x 2 rows = 32 hashes
+MINHASH_P = 2147483647
+SIMHASH_BITS = 32
+SIMHASH_MAX_HAMMING = 6
+FINGERPRINT_N = 5
+
+# shared Spark-dialect snippets
+SPARK_TOKENS = f"""regexp_extract_all(lower(coalesce(text, '')), "{TOKEN_RE}", 0)"""
+SPARK_SHINGLES = f"""
+  transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)),
+            i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    df.createOrReplaceTempView("documents")
+    return df
+
+
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash-groupBy, canonical = min doc_id."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        """
+WITH norm AS (
+  SELECT doc_id,
+         sha2(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ')), 256) AS norm_hash
+  FROM documents
+)
+SELECT doc_id, norm_hash,
+  min(doc_id) OVER (PARTITION BY norm_hash)   AS canonical_doc_id,
+  count(*)    OVER (PARTITION BY norm_hash)   AS group_size,
+  doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+FROM norm
+"""
+    )
+
+
+def _shingle_cte_spark() -> str:
+    return f"""
+toks AS (
+  SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, explode({SPARK_SHINGLES}) AS shingle FROM toks)
+  WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Word-3-gram Jaccard near-dup pairs via a shingle inverted index."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH {_shingle_cte_spark()},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_common,
+  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_THRESHOLD}
+"""
+    )
+
+
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash({MINHASH_K}) + LSH banding ({LSH_BANDS} bands x 2 rows):
+    shingle -> portable 32-bit hash -> k permutation mins -> band keys ->
+    bucket equi-join for candidates -> exact-Jaccard verification.
+
+    At cluster scale every stage is an equi-shuffle (shingle, (doc,seed),
+    band key) — no all-pairs anywhere."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH {_shingle_cte_spark()},
+hashed AS (
+  SELECT doc_id,
+         cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
+  FROM shingles
+),
+seeds AS (SELECT explode(sequence(0, {MINHASH_K - 1})) AS i),
+sig AS (
+  SELECT doc_id, i,
+         min((h * (2 * i + 1) + (i * i + 7)) % {MINHASH_P}) AS mh
+  FROM hashed CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, cast(i / 2 AS int) AS band,
+         concat_ws('_', sort_array(collect_list(concat(cast(i AS string), ':', cast(mh AS string))))) AS band_key
+  FROM sig
+  GROUP BY doc_id, cast(i / 2 AS int)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_THRESHOLD}
+"""
+    )
+
+
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """{SIMHASH_BITS}-bit SimHash per document + near-dup pairs with
+    Hamming distance <= {SIMHASH_MAX_HAMMING} (bit_count of xor)."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
+),
+th AS (
+  SELECT doc_id, token,
+         cast(conv(substr(sha2(token, 256), 1, 8), 16, 10) AS bigint) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS w
+  FROM th
+  LATERAL VIEW explode(sequence(0, {SIMHASH_BITS - 1})) s AS b
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         sum(CASE WHEN w > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       bit_count(a.simhash ^ b.simhash) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(a.simhash ^ b.simhash) <= {SIMHASH_MAX_HAMMING}
+"""
+    )
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+LANG_STOPWORDS = {
+    "en": ["the", "is", "and", "was", "this", "with", "a", "of"],
+    "es": ["el", "la", "es", "y", "con", "por", "los", "una"],
+    "fr": ["le", "la", "est", "et", "avec", "pour", "les", "une"],
+    "de": ["der", "die", "das", "und", "ist", "mit", "ein", "von"],
+}
+
+EN_STOPWORDS = LANG_STOPWORDS["en"]
+
+
+def _lang_values() -> str:
+    return ", ".join(
+        f"('{w}', '{lang}')" for lang, ws in sorted(LANG_STOPWORDS.items()) for w in ws
+    )
+
+
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic language ID: per-language stopword votes, argmax with
+    deterministic (hits desc, lang asc) tie-break."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH langwords AS (SELECT * FROM VALUES {_lang_values()} AS t(word, lang)),
+toks AS (
+  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
+),
+votes AS (
+  SELECT t.doc_id, l.lang, count(*) AS hits
+  FROM toks t JOIN langwords l ON l.word = t.token
+  GROUP BY t.doc_id, l.lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk
+  FROM votes
+)
+SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'unknown') AS pred_lang,
+       coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+"""
+    )
+
+
+def text_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality scoring: length / token stats / stopword + alnum ratios and
+    a deterministic composite score."""
+    _docs(spark, sf_dir)
+    stop_list = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    return spark.sql(
+        f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text, {SPARK_TOKENS} AS toks FROM documents
+),
+stats AS (
+  SELECT doc_id,
+    length(text)                                    AS n_chars,
+    size(toks)                                      AS n_tokens,
+    size(array_distinct(toks))                      AS n_distinct_tokens,
+    size(filter(toks, t -> t IN ({stop_list})))     AS n_stopwords,
+    length(regexp_replace(text, '[^a-zA-Z0-9]', '')) AS n_alnum
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+  round(n_stopwords / cast(greatest(n_tokens, 1) AS double), 6)        AS stopword_ratio,
+  round(n_alnum / cast(greatest(n_chars, 1) AS double), 6)             AS alnum_ratio,
+  round(n_distinct_tokens / cast(greatest(n_tokens, 1) AS double), 6)  AS distinct_ratio,
+  CASE WHEN n_tokens >= 10 AND n_chars >= 50
+        AND n_stopwords / cast(greatest(n_tokens, 1) AS double) >= 0.01
+       THEN 1 ELSE 0 END                                               AS passes_quality
+FROM stats
+"""
+    )
+
+
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting per source: whitespace tokens, regex tokens, and a
+    BPE-ish subword estimate (ceil(chars/4))."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+SELECT source,
+  count(*)                                                   AS n_docs,
+  sum(size(split(trim(coalesce(text, '')), '\\\\s+')))       AS n_ws_tokens,
+  sum(size({SPARK_TOKENS}))                                  AS n_re_tokens,
+  sum(cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint)) AS n_subwords_est
+FROM documents
+GROUP BY source
+"""
+    )
+
+
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint: lexicographic min of sha256 over word
+    {FINGERPRINT_N}-gram shingles (winnowing-style stable selection)."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, explode(
+    transform(sequence(1, greatest(size(toks) - {FINGERPRINT_N - 1}, 0)),
+              i -> concat_ws(' ', slice(toks, i, {FINGERPRINT_N})))
+  ) AS shingle
+  FROM toks
+)
+SELECT doc_id, min(sha2(shingle, 256)) AS fingerprint
+FROM sh
+WHERE shingle <> ''
+GROUP BY doc_id
+"""
+    )

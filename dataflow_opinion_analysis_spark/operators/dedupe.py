@@ -49,9 +49,17 @@ def exact_dedupe(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
 # composite soft key (GetContentIndexSummaryKeyFn, IndexerPipeline.java:1587-1610):
 #   (title or 'No Title', round(contentLength / 1000))
 def with_soft_key(indexed: DataFrame) -> DataFrame:
-    return indexed.withColumn(
-        "soft_title", F.coalesce(F.col("title"), F.lit("No Title"))
-    ).withColumn("len_bucket", F.round(F.length(F.col("text")) / 1000.0).cast("int"))
+    # accepts either a full `text` column or a precomputed `text_len`
+    # (the verdict chain passes text_len so the wide text column never
+    # enters the dedupe shuffles)
+    text_len = (
+        F.col("text_len") if "text_len" in indexed.columns else F.length("text")
+    )
+    return (
+        indexed.withColumn("soft_title", F.coalesce(F.col("title"), F.lit("No Title")))
+        .withColumn("len_bucket", F.round(text_len / 1000.0).cast("int"))
+        .withColumn("text_len", text_len)
+    )
 
 
 def _soft_dedupe_group(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -81,7 +89,9 @@ def _soft_dedupe_group(pdf: pd.DataFrame) -> pd.DataFrame:
     if exploded.empty:
         return out
     tag_counts = exploded.value_counts()
-    min_occ = max(round(n / 2), 2)
+    # round-half-up like Java Math.round (the reference, :942) and SQL
+    # round() in Spark/DuckDB — NOT Python's banker's rounding
+    min_occ = max(int(n / 2 + 0.5), 2)
     frequent = set(tag_counts[tag_counts >= min_occ].index)
 
     def matched(tags: list) -> bool:
@@ -109,11 +119,21 @@ SOFT_DEDUPE_SCHEMA = (
 
 
 def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
-    """Apply the vote rule per (soft_title, len_bucket) group.
+    """Apply the vote rule per (soft_title, len_bucket) group — pure
+    Catalyst (no Python): distributed tag-frequency aggregation, a join
+    back for per-doc match counts, and rank windows for winner election.
 
-    Input needs: document_hash, conv_id, turn_idx, title, text, and a
-    ``tag_names`` array<string> column. Returns the verdict frame keyed by
-    document_hash (join it back to route winners vs dupes).
+    This is deliberately NOT an ``applyInPandas`` over the group: the
+    'No Title' group is the entire untitled corpus, so collecting a group
+    into one Python worker cannot scale. Every step below is a hash
+    aggregate or window over the group key — AQE splits the hot key's
+    shuffle partitions, and nothing ever materializes a whole group in
+    one process. (``_soft_dedupe_group`` above is the executable spec;
+    a property test asserts equivalence.)
+
+    Input needs: expected_document_hash, conv_id, turn_idx, title, text,
+    ``tag_names`` array<string>. Returns the verdict frame keyed by
+    document_hash.
     """
     keyed = with_soft_key(indexed_with_tags).select(
         F.col("expected_document_hash").alias("document_hash"),
@@ -121,9 +141,86 @@ def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
         "turn_idx",
         "soft_title",
         "len_bucket",
-        F.length("text").alias("text_len"),
+        "text_len",
         "tag_names",
     )
-    return keyed.groupBy("soft_title", "len_bucket").applyInPandas(
-        lambda pdf: _soft_dedupe_group(pdf), SOFT_DEDUPE_SCHEMA
+    key = ["soft_title", "len_bucket"]
+
+    tags = keyed.select(
+        "document_hash", *key, F.explode("tag_names").alias("tag")
+    )
+    # only tags occurring >= 2 times in their group can ever reach
+    # min_occ = max(round(grp_n/2), 2) — filtering here shrinks the
+    # frequency table from ~|corpus|*K rows to just the repeated tags,
+    # which is what makes the subsequent joins cheap/broadcastable
+    freq = (
+        tags.groupBy(*key, "tag")
+        .agg(F.count("*").alias("occ"))
+        .filter(F.col("occ") >= 2)
+    )
+    grp_n = keyed.groupBy(*key).agg(F.count("*").alias("grp_n"))
+
+    # per-doc count of group-frequent tags
+    # (min_occ = max(round-half-up(grp_n/2), 2) — IndexerPipeline.java:942)
+    hits = (
+        tags.join(freq, [*key, "tag"])
+        .join(grp_n, key)
+        .filter(
+            F.col("occ") >= F.greatest(F.round(F.col("grp_n") / 2.0), F.lit(2))
+        )
+        .groupBy("document_hash")
+        .agg(F.count("*").alias("n_freq"))
+    )
+
+    base = keyed.join(grp_n, key).select(
+        "document_hash",
+        *key,
+        "conv_id",
+        "turn_idx",
+        "text_len",
+        "grp_n",
+        F.size(F.coalesce("tag_names", F.array())).alias("n_tags"),
+    )
+    dm = base.join(hits, "document_hash", "left").withColumn(
+        "n_freq", F.coalesce("n_freq", F.lit(0))
+    ).withColumn(
+        "is_match",
+        (F.col("grp_n") >= 2)
+        & (F.col("n_tags") > 0)
+        & (F.col("n_freq") >= 2)
+        & (F.col("n_freq") >= 0.5 * F.col("n_tags")),
+    )
+
+    # winner election WITHOUT windows: a window over the hot group key
+    # ('No Title' holds the whole untitled corpus) is a single serial
+    # task. A hash aggregate gets map-side partial combine instead:
+    # winner = min (text_len, conv_id, turn_idx, hash) struct per group —
+    # unique because (conv_id, turn_idx) is unique per doc.
+    winners_per_group = (
+        dm.filter(F.col("is_match"))
+        .groupBy(*key)
+        .agg(
+            F.min(
+                F.struct("text_len", "conv_id", "turn_idx", "document_hash")
+            ).alias("w"),
+            F.count("*").alias("n_match"),
+        )
+        .select(*key, F.col("w.document_hash").alias("grp_winner_hash"), "n_match")
+    )
+
+    # one row per group: far smaller than dm, Catalyst auto-broadcasts
+    ranked = dm.join(winners_per_group, key, "left")
+    is_dupe = (
+        F.col("is_match")
+        & (F.coalesce(F.col("n_match"), F.lit(0)) >= 2)
+        & (F.col("document_hash") != F.col("grp_winner_hash"))
+    )
+    return ranked.select(
+        "document_hash",
+        "conv_id",
+        "turn_idx",
+        is_dupe.alias("is_dupe"),
+        F.when(is_dupe, F.col("grp_winner_hash"))
+        .otherwise(F.col("document_hash"))
+        .alias("winner_document_hash"),
     )

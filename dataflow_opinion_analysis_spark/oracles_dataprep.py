@@ -1,0 +1,297 @@
+"""DuckDB oracles for the training-data operators
+(operators/dataprep.py, similarity.py, multimodal.py).
+
+Portability bridges verified on both engines:
+  hex->bigint:  Spark conv(substr(sha2(s,256),1,8),16,10)
+             == DuckDB cast('0x' || substr(sha256(s),1,8) AS bigint)
+  bit ops:      >> & ^ bit_count identical
+  FP dot:       both sides fold left-to-right in float64, so cosine
+                values are bit-identical before the 6-dp round.
+"""
+
+from __future__ import annotations
+
+from dataflow_opinion_analysis_spark.operators import dataprep, similarity
+
+TOKEN_RE_SQL = dataprep.TOKEN_RE.replace("'", "''")
+
+DUCK_TOKENS = f"regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE_SQL}')"
+N = dataprep.SHINGLE_N
+DUCK_SHINGLES = f"""
+  list_transform(generate_series(1, greatest(len(toks) - {N - 1}, 0)),
+                 i -> array_to_string(toks[i:i+{N - 1}], ' '))
+"""
+
+SHINGLE_CTE = f"""
+toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+shingles AS (
+  SELECT DISTINCT doc_id, shingle
+  FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM toks)
+  WHERE shingle <> ''
+),
+sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
+"""
+
+DEDUP_EXACT_SQL = """
+WITH norm AS (
+  SELECT doc_id,
+         sha256(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+  FROM documents
+)
+SELECT doc_id, norm_hash,
+  min(doc_id) OVER (PARTITION BY norm_hash)   AS canonical_doc_id,
+  count(*)    OVER (PARTITION BY norm_hash)   AS group_size,
+  doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
+FROM norm
+"""
+
+DEDUP_NGRAM_JACCARD_SQL = f"""
+WITH {SHINGLE_CTE},
+common AS (
+  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+  FROM shingles a JOIN shingles b
+    ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY a.doc_id, b.doc_id
+)
+SELECT c.doc_a, c.doc_b, c.n_common,
+  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {dataprep.JACCARD_THRESHOLD}
+"""
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {SHINGLE_CTE},
+hashed AS (
+  SELECT doc_id,
+         cast(('0x' || substr(sha256(shingle), 1, 8)) AS bigint) AS h
+  FROM shingles
+),
+seeds AS (SELECT unnest(generate_series(0, {dataprep.MINHASH_K - 1})) AS i),
+sig AS (
+  SELECT doc_id, i,
+         min((h * (2 * i + 1) + (i * i + 7)) % {dataprep.MINHASH_P}) AS mh
+  FROM hashed CROSS JOIN seeds
+  GROUP BY doc_id, i
+),
+bands AS (
+  SELECT doc_id, cast(floor(i / 2) AS int) AS band,
+         array_to_string(list_sort(list(cast(i AS varchar) || ':' || cast(mh AS varchar))), '_') AS band_key
+  FROM sig
+  GROUP BY doc_id, cast(floor(i / 2) AS int)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM bands a JOIN bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN shingles a ON a.doc_id = c.doc_a
+  JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
+FROM common c
+JOIN sizes sa ON sa.doc_id = c.doc_a
+JOIN sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {dataprep.JACCARD_THRESHOLD}
+"""
+
+DEDUP_SIMHASH_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
+),
+th AS (
+  SELECT doc_id, token,
+         cast(('0x' || substr(sha256(token), 1, 8)) AS bigint) AS h
+  FROM toks
+),
+bits AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+  FROM th, (SELECT unnest(generate_series(0, {dataprep.SIMHASH_BITS - 1})) AS b) s
+  GROUP BY doc_id, b
+),
+sh AS (
+  SELECT doc_id,
+         cast(sum(CASE WHEN w > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS bigint) AS simhash
+  FROM bits GROUP BY doc_id
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       cast(bit_count(xor(a.simhash, b.simhash)) AS int) AS hamming
+FROM sh a JOIN sh b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.simhash, b.simhash)) <= {dataprep.SIMHASH_MAX_HAMMING}
+"""
+
+_lang_values = ", ".join(
+    f"('{w}', '{lang}')"
+    for lang, ws in sorted(dataprep.LANG_STOPWORDS.items())
+    for w in ws
+)
+
+TEXT_LANGID_SQL = f"""
+WITH langwords(word, lang) AS (VALUES {_lang_values}),
+toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
+),
+votes AS (
+  SELECT t.doc_id, l.lang, count(*) AS hits
+  FROM toks t JOIN langwords l ON l.word = t.token
+  GROUP BY t.doc_id, l.lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang, hits,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk
+  FROM votes
+)
+SELECT d.doc_id, d.lang, coalesce(b.pred_lang, 'unknown') AS pred_lang,
+       coalesce(b.hits, 0) AS hits
+FROM documents d LEFT JOIN best b ON b.doc_id = d.doc_id AND b.rk = 1
+"""
+
+_stop_list = ", ".join(f"'{w}'" for w in dataprep.EN_STOPWORDS)
+
+TEXT_QUALITY_SQL = f"""
+WITH base AS (
+  SELECT doc_id, coalesce(text, '') AS text, {DUCK_TOKENS} AS toks FROM documents
+),
+stats AS (
+  SELECT doc_id,
+    cast(length(text) AS int)                               AS n_chars,
+    cast(len(toks) AS int)                                  AS n_tokens,
+    cast(len(list_distinct(toks)) AS int)                   AS n_distinct_tokens,
+    cast(len(list_filter(toks, t -> t IN ({_stop_list}))) AS int) AS n_stopwords,
+    cast(length(regexp_replace(text, '[^a-zA-Z0-9]', '', 'g')) AS int) AS n_alnum
+  FROM base
+)
+SELECT doc_id, n_chars, n_tokens, n_distinct_tokens,
+  round(n_stopwords / cast(greatest(n_tokens, 1) AS double), 6)        AS stopword_ratio,
+  round(n_alnum / cast(greatest(n_chars, 1) AS double), 6)             AS alnum_ratio,
+  round(n_distinct_tokens / cast(greatest(n_tokens, 1) AS double), 6)  AS distinct_ratio,
+  CASE WHEN n_tokens >= 10 AND n_chars >= 50
+        AND n_stopwords / cast(greatest(n_tokens, 1) AS double) >= 0.01
+       THEN 1 ELSE 0 END                                               AS passes_quality
+FROM stats
+"""
+
+TEXT_TOKEN_COUNT_SQL = f"""
+SELECT source,
+  count(*)                                                    AS n_docs,
+  sum(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')))  AS n_ws_tokens,
+  sum(len({DUCK_TOKENS}))                                     AS n_re_tokens,
+  sum(cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint)) AS n_subwords_est
+FROM documents
+GROUP BY source
+"""
+
+FN = dataprep.FINGERPRINT_N
+TEXT_FINGERPRINT_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+),
+sh AS (
+  SELECT doc_id, unnest(
+    list_transform(generate_series(1, greatest(len(toks) - {FN - 1}, 0)),
+                   i -> array_to_string(toks[i:i+{FN - 1}], ' '))
+  ) AS shingle
+  FROM toks
+)
+SELECT doc_id, min(sha256(shingle)) AS fingerprint
+FROM sh
+WHERE shingle <> ''
+GROUP BY doc_id
+"""
+
+# ---------------------------------------------------------------------------
+# similarity
+# ---------------------------------------------------------------------------
+
+_DOT = "list_dot_product(a.v, b.v)"
+_NORM = "sqrt(list_dot_product({c}.v, {c}.v))"
+
+SIMILARITY_TOPK_SQL = f"""
+WITH v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+q AS (SELECT * FROM v WHERE vec_id < {similarity.N_QUERIES}),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+    round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6) AS cosine
+  FROM q a CROSS JOIN v b
+  WHERE a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, cosine, rk FROM ranked WHERE rk <= {similarity.TOP_K}
+"""
+
+
+def _duck_plane(i: int) -> str:
+    return (
+        f"list_transform(generate_series(0, 63), "
+        f"d -> (((({i} * 64 + d) * 2654435761) % 1000003) / 1000003.0 - 0.5))"
+    )
+
+
+_plane_sign = " + ".join(
+    f"(CASE WHEN list_dot_product(v, {_duck_plane(i)}) > 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(similarity.LSH_PLANES)
+)
+
+SIMILARITY_ANN_LSH_SQL = f"""
+WITH v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+bucketed AS (
+  SELECT vec_id, v, ({_plane_sign}) AS bucket FROM v
+),
+q AS (SELECT * FROM bucketed WHERE vec_id < {similarity.N_QUERIES}),
+sims AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id, a.bucket,
+    round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6) AS cosine
+  FROM q a JOIN bucketed b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, bucket, cosine, rk
+FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
+"""
+
+MULTIMODAL_METADATA_SQL = """
+SELECT doc_id,
+  CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
+  cast(octet_length(encode(coalesce(text, ''))) AS int)     AS n_bytes,
+  sha256(coalesce(text, ''))                                AS payload_sha,
+  cast(octet_length(encode(coalesce(text, ''))) % 640 + 1 AS int)      AS width,
+  cast(octet_length(encode(coalesce(text, ''))) * 7 % 480 + 1 AS int)  AS height,
+  cast(octet_length(encode(coalesce(text, ''))) % 30 + 1 AS int)       AS n_frames,
+  true AS decode_ok
+FROM documents
+"""
+
+DATAPREP_ORACLES: dict[str, str] = {
+    "dedup_exact": DEDUP_EXACT_SQL,
+    "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
+    "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
+    "dedup_simhash": DEDUP_SIMHASH_SQL,
+    "text_langid": TEXT_LANGID_SQL,
+    "text_quality": TEXT_QUALITY_SQL,
+    "text_token_count": TEXT_TOKEN_COUNT_SQL,
+    "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
+    "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
+    "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+}

@@ -24,7 +24,7 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_opinion_analysis_spark.functions import scorer
+from dataflow_opinion_analysis_spark.functions import scorer, tags_sql
 from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
 
 
@@ -56,42 +56,60 @@ def build_indexer(
         "turn_idx",
         "text",
     )
-    tags = doc_keyed.mapInPandas(scorer.extract_tags_map, scorer.TAGS_SCHEMA)
+    # tags on the JVM fast path (functions/tags_sql.py); the Arrow UDF in
+    # functions/scorer.py is the reference implementation (tests assert
+    # equivalence). Passages stay an Arrow UDF — the NLP stage proper.
+    tags = tags_sql.extract_tags(doc_keyed)
     passages = doc_keyed.mapInPandas(scorer.score_passages_map, scorer.PASSAGE_SCHEMA)
     if persist:
         tags = tags.persist()
 
-    winners_tagged = winners.join(
-        tags.select(
-            F.col("document_hash").alias("expected_document_hash"),
-            "Tags",
-            F.transform("Tags", lambda t: t["Tag"]).alias("tag_names"),
-        ),
-        "expected_document_hash",
-        "left",
-    )
-
     if soft_dedupe_enabled:
-        verdict = dedupe.soft_dedupe(winners_tagged)
+        # verdict chain sees only NARROW columns (hash, keys, title,
+        # text_len, tag names) — the wide text column never enters the
+        # dedupe shuffles
+        verdict_input = winners.select(
+            "expected_document_hash",
+            "conv_id",
+            "turn_idx",
+            "title",
+            F.length("text").alias("text_len"),
+        ).join(
+            tags.select(
+                F.col("document_hash").alias("expected_document_hash"), "tag_names"
+            ),
+            "expected_document_hash",
+            "left",
+        )
+        verdict = dedupe.soft_dedupe(verdict_input)
+        if persist:
+            verdict = verdict.persist()
         keep = verdict.filter(~F.col("is_dupe")).select("document_hash")
         repoint = verdict.filter(F.col("is_dupe")).select(
             "document_hash", "winner_document_hash"
         )
-        soft_winners = winners_tagged.join(
+        soft_winners = winners.join(
             keep.withColumnRenamed("document_hash", "expected_document_hash"),
             "expected_document_hash",
             "left_semi",
         )
-        soft_dupes = winners_tagged.join(
+        soft_dupes = winners.join(
             repoint.withColumnRenamed("document_hash", "expected_document_hash"),
             "expected_document_hash",
             "inner",
         )
+        if persist:
+            soft_winners = soft_winners.persist()
     else:
-        soft_winners = winners_tagged
+        soft_winners = winners
         soft_dupes = None
 
-    document = fanout.document_rows(soft_winners)
+    tags_for_docs = tags.select(
+        F.col("document_hash").alias("expected_document_hash"), "Tags"
+    )
+    document = fanout.document_rows(
+        soft_winners.join(tags_for_docs, "expected_document_hash", "left")
+    )
     sentiment = fanout.sentiment_rows(
         passages.join(
             soft_winners.select(

@@ -41,6 +41,13 @@ def get_spark(
         .config("spark.ui.enabled", "false")
         .config("spark.sql.files.maxPartitionBytes", "128m")
     )
+    # local mode funnels every shuffle through one disk — a sandbox
+    # artifact (a real cluster spreads shuffle over per-node disks).
+    # Spill to tmpfs when it exists so measurements reflect compute.
+    if os.path.isdir("/dev/shm"):
+        shm = "/dev/shm/spark-local"
+        os.makedirs(shm, exist_ok=True)
+        b = b.config("spark.local.dir", shm)
     for k, v in (extra_conf or {}).items():
         b = b.config(k, v)
     spark = b.getOrCreate()

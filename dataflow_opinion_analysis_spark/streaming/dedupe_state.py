@@ -1,0 +1,174 @@
+"""Stateful streaming near-duplicate detection — MinHash fingerprints in
+a keyed state store (north_star: "simhash/MinHash fingerprints held in a
+keyed state store (flatMapGroupsWithState-style applyInPandasWithState)").
+
+Key   : (soft_title, len_bucket) — the reference's soft-dedupe composite
+        key (IndexerPipeline.java:1599-1610).
+State : up to MAX_FPRINTS (signature, winner_hash, text_len) fingerprints
+        per key, LRU by last-seen micro-batch (bounded state at
+        10^12-turn scale; eviction is deliberate recall decay, the same
+        trade-off every streaming dedupe makes).
+Emit  : (document_hash, is_dupe, winner_document_hash) — a doc is a dupe
+        when its MinHash signature matches a stored fingerprint with
+        estimated Jaccard >= threshold; otherwise its own fingerprint is
+        stored and it becomes a potential winner for later turns.
+
+This catches near-dupes ACROSS micro-batches — the within-batch vote rule
+(operators/dedupe.py) cannot. The two are complementary: the batch vote
+rule reproduces the reference's semantics; this operator adds the
+streaming-native fingerprint memory the reference lacks.
+
+MinHash math is numpy-vectorized over the whole group batch (one matrix
+min per batch, no per-row Python).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+K = 32  # minhash permutations
+SHINGLE_N = 3
+JACCARD_THRESHOLD = 0.5
+MAX_FPRINTS = 256
+P = 2147483647
+
+_A = (2 * np.arange(K, dtype=np.int64) + 1).reshape(1, K)
+_B = (np.arange(K, dtype=np.int64) ** 2 + 7).reshape(1, K)
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("document_hash", T.StringType()),
+        T.StructField("soft_title", T.StringType()),
+        T.StructField("len_bucket", T.IntegerType()),
+        T.StructField("is_dupe", T.BooleanType()),
+        T.StructField("winner_document_hash", T.StringType()),
+        T.StructField("est_jaccard", T.DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("sigs", T.ArrayType(T.ArrayType(T.LongType()))),
+        T.StructField("hashes", T.ArrayType(T.StringType())),
+        T.StructField("last_seen", T.ArrayType(T.IntegerType())),
+        T.StructField("clock", T.IntegerType()),
+    ]
+)
+
+
+def _shingle_hashes(text: str) -> np.ndarray:
+    """Word 3-gram shingles -> stable 32-bit ints (sha256-based, matching
+    operators/dataprep.py's portable hash bridge)."""
+    import hashlib
+
+    toks = pd.Series([text]).str.lower().str.findall(r"[a-z0-9']+")[0]
+    if len(toks) < SHINGLE_N:
+        shingles = [" ".join(toks)] if toks else []
+    else:
+        shingles = [" ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)]
+    if not shingles:
+        return np.zeros(0, dtype=np.int64)
+    return np.array(
+        [int(hashlib.sha256(s.encode()).hexdigest()[:8], 16) for s in set(shingles)],
+        dtype=np.int64,
+    )
+
+
+def minhash_signature(text: str) -> np.ndarray:
+    h = _shingle_hashes(text)
+    if h.size == 0:
+        return np.full(K, P, dtype=np.int64)
+    # (n_shingles, K) permutations -> column mins
+    return ((h.reshape(-1, 1) * _A + _B) % P).min(axis=0)
+
+
+def dedupe_state_fn(
+    key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
+) -> Iterator[pd.DataFrame]:
+    soft_title, len_bucket = key
+    if state.exists:
+        sigs_l, hashes, last_seen, clock = state.get
+        sigs = np.array([list(s) for s in sigs_l], dtype=np.int64) if sigs_l else np.zeros((0, K), np.int64)
+        hashes = list(hashes)
+        last_seen = list(last_seen)
+        clock = int(clock)
+    else:
+        sigs = np.zeros((0, K), dtype=np.int64)
+        hashes, last_seen, clock = [], [], 0
+    clock += 1
+
+    out_frames = []
+    if not state.hasTimedOut:
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            # signatures for the whole batch (vectorized per text; the
+            # shingle hash per doc is a numpy matrix op)
+            batch_sigs = np.stack([minhash_signature(t or "") for t in pdf["text"]])
+            res = []
+            for i in range(len(pdf)):
+                sig = batch_sigs[i]
+                if sigs.shape[0]:
+                    matches = (sigs == sig.reshape(1, K)).mean(axis=1)
+                    j = int(np.argmax(matches))
+                    best = float(matches[j])
+                else:
+                    j, best = -1, 0.0
+                if best >= JACCARD_THRESHOLD:
+                    res.append((True, hashes[j], best))
+                    last_seen[j] = clock
+                else:
+                    sigs = np.vstack([sigs, sig.reshape(1, K)])
+                    hashes.append(pdf["document_hash"].iloc[i])
+                    last_seen.append(clock)
+                    res.append((False, pdf["document_hash"].iloc[i], best))
+            out = pdf[["document_hash"]].copy()
+            out["soft_title"] = soft_title
+            out["len_bucket"] = np.int32(len_bucket)
+            out["is_dupe"] = [r[0] for r in res]
+            out["winner_document_hash"] = [r[1] for r in res]
+            out["est_jaccard"] = [r[2] for r in res]
+            out_frames.append(out)
+
+    # LRU eviction to bound state
+    if len(hashes) > MAX_FPRINTS:
+        order = np.argsort(last_seen)[::-1][:MAX_FPRINTS]
+        keep = sorted(order.tolist())
+        sigs = sigs[keep]
+        hashes = [hashes[i] for i in keep]
+        last_seen = [last_seen[i] for i in keep]
+
+    if hashes:
+        state.update(
+            ([s.tolist() for s in sigs], hashes, [int(x) for x in last_seen], clock)
+        )
+        state.setTimeoutDuration(3600 * 1000)  # drop idle keys after an hour
+    else:
+        state.remove()
+
+    for f in out_frames:
+        yield f
+
+
+def stateful_near_dedupe(stream: DataFrame) -> DataFrame:
+    """Streaming near-dup verdicts: input needs (document_hash, title,
+    text) columns; keys by the reference soft key."""
+    from dataflow_opinion_analysis_spark.operators.dedupe import with_soft_key
+
+    keyed = with_soft_key(stream).select(
+        F.col("document_hash"), "soft_title", "len_bucket", "text"
+    )
+    return keyed.groupBy("soft_title", "len_bucket").applyInPandasWithState(
+        dedupe_state_fn,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+    )

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflow_opinion_analysis_spark import schemas
-from dataflow_opinion_analysis_spark.functions import scorer
+from dataflow_opinion_analysis_spark.functions import scorer, tags_sql
 from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
 from dataflow_opinion_analysis_spark.sources.transcripts import read_transcripts_stream
 from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
@@ -155,35 +155,37 @@ def process_batch(
         F.col("expected_document_hash").alias("document_hash"),
         "conv_id", "turn_idx", "text",
     )
-    tags = doc_keyed.mapInPandas(scorer.extract_tags_map, scorer.TAGS_SCHEMA).persist()
+    tags = tags_sql.extract_tags(doc_keyed).persist()
     passages = doc_keyed.mapInPandas(scorer.score_passages_map, scorer.PASSAGE_SCHEMA)
 
-    winners_tagged = winners.join(
-        tags.select(
-            F.col("document_hash").alias("expected_document_hash"),
-            "Tags",
-            F.transform("Tags", lambda t: t["Tag"]).alias("tag_names"),
-        ),
-        "expected_document_hash",
-        "left",
-    )
-
     if soft_dedupe_enabled:
-        verdict = dedupe.soft_dedupe(winners_tagged)
+        verdict_input = winners.select(
+            "expected_document_hash", "conv_id", "turn_idx", "title",
+            F.length("text").alias("text_len"),
+        ).join(
+            tags.select(F.col("document_hash").alias("expected_document_hash"), "tag_names"),
+            "expected_document_hash", "left",
+        )
+        verdict = dedupe.soft_dedupe(verdict_input).persist()
         keep = verdict.filter(~F.col("is_dupe")).select("document_hash")
         repoint = verdict.filter(F.col("is_dupe")).select("document_hash", "winner_document_hash")
-        soft_winners = winners_tagged.join(
+        soft_winners = winners.join(
             keep.withColumnRenamed("document_hash", "expected_document_hash"),
             "expected_document_hash", "left_semi",
-        )
-        soft_dupes = winners_tagged.join(
+        ).persist()
+        soft_dupes = winners.join(
             repoint.withColumnRenamed("document_hash", "expected_document_hash"),
             "expected_document_hash", "inner",
         )
     else:
-        soft_winners, soft_dupes = winners_tagged, None
+        soft_winners, soft_dupes = winners, None
 
-    document = fanout.document_rows(soft_winners).join(
+    document = fanout.document_rows(
+        soft_winners.join(
+            tags.select(F.col("document_hash").alias("expected_document_hash"), "Tags"),
+            "expected_document_hash", "left",
+        )
+    ).join(
         soft_winners.select(
             F.col("expected_document_hash").alias("DocumentHash"), "content_hash"
         ),

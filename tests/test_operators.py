@@ -1,0 +1,151 @@
+"""Edge-case unit tests (FIXTURES.md §5): dedupe vote thresholds, skip
+routing, empty-text guards, hash determinism, scorer invariants."""
+
+from __future__ import annotations
+
+import datetime
+
+import pandas as pd
+import pyspark.sql.functions as F
+
+from dataflow_opinion_analysis_spark.operators import dedupe, ingest
+from dataflow_opinion_analysis_spark.operators.dedupe import _soft_dedupe_group
+from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+
+SCHEMA = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+T0 = datetime.datetime(2024, 1, 1)
+
+
+def _t(spark, rows):
+    return spark.createDataFrame(rows, SCHEMA)
+
+
+def _row(conv, idx, text, role="user", tool=None, minutes=None):
+    return (conv, idx, role, text, tool, T0 + datetime.timedelta(minutes=idx if minutes is None else minutes))
+
+
+# --- soft dedupe vote rule (IndexerPipeline.java:942,957 arithmetic) --------
+
+def _grp(rows):
+    pdf = pd.DataFrame(
+        rows, columns=["document_hash", "conv_id", "turn_idx", "text_len", "tag_names"]
+    )
+    return _soft_dedupe_group(pdf)
+
+
+def test_soft_dedupe_group_of_one_passes_through():
+    out = _grp([("h1", "c", 0, 10, ["a", "b"])])
+    assert not out.is_dupe.any()
+
+
+def test_soft_dedupe_two_matching_shortest_wins():
+    # group of 2: min_occ = max(round(2/2+eps), 2) = 2 -> shared tags a,b are
+    # frequent; both match (2 of 2 tags); shortest text wins
+    out = _grp([
+        ("long", "c", 0, 100, ["a", "b"]),
+        ("short", "c", 1, 50, ["a", "b"]),
+    ])
+    assert set(out[out.is_dupe].document_hash) == {"long"}
+    assert out[out.document_hash == "long"].winner_document_hash.iloc[0] == "short"
+
+
+def test_soft_dedupe_below_half_tags_no_match():
+    # doc with 5 tags, only 2 frequent -> 2/5 < 50% -> no match
+    out = _grp([
+        ("a", "c", 0, 10, ["x", "y", "p", "q", "r"]),
+        ("b", "c", 1, 20, ["x", "y", "s", "t", "u"]),
+    ])
+    assert not out.is_dupe.any()
+
+
+def test_soft_dedupe_single_match_not_deduped():
+    # only one doc matches the frequency rule -> is_match.sum() < 2 -> no-op
+    out = _grp([
+        ("a", "c", 0, 10, ["x", "y"]),
+        ("b", "c", 1, 20, ["x", "z", "w", "v"]),
+        ("d", "c", 2, 30, ["y", "q", "r", "s"]),
+    ])
+    assert not out.is_dupe.any()
+
+
+def test_soft_dedupe_tie_break_on_conv_turn():
+    out = _grp([
+        ("h2", "c2", 0, 50, ["a", "b"]),
+        ("h1", "c1", 0, 50, ["a", "b"]),
+    ])
+    # equal length -> smallest (conv_id, turn_idx) wins
+    assert set(out[out.is_dupe].document_hash) == {"h2"}
+
+
+# --- pipeline edge cases ----------------------------------------------------
+
+def test_skip_indexing_tool_turns(spark):
+    t = _t(spark, [
+        _row("c1", 0, "great start"),
+        _row("c1", 1, "tool output here", role="tool", tool="search"),
+    ])
+    out = build_indexer(t)
+    assert out.webresource.count() == 2
+    docs = out.document.select("CollectionItemId").toPandas()
+    assert list(docs.CollectionItemId) == ["c1:0"]
+
+
+def test_empty_text_dropped(spark):
+    t = _t(spark, [
+        _row("c1", 0, "real text"),
+        _row("c1", 1, "   "),
+        _row("c1", 2, None),
+    ])
+    out = build_indexer(t)
+    assert out.webresource.count() == 1
+
+
+def test_exact_dupe_group_of_three(spark):
+    t = _t(spark, [
+        _row("c1", 0, "identical great text"),
+        _row("c2", 0, "identical great text", minutes=5),
+        _row("c3", 0, "identical great text", minutes=9),
+    ])
+    out = build_indexer(t, soft_dedupe_enabled=False)
+    assert out.document.count() == 1
+    # all three webresources point to the earliest turn's document
+    wr = out.webresource.toPandas()
+    assert wr.DocumentHash.nunique() == 1
+    assert out.document.toPandas().CollectionItemId.iloc[0] == "c1:0"
+
+
+def test_parent_links_skip_gaps(spark):
+    t = _t(spark, [
+        _row("c1", 0, "first turn"),
+        _row("c1", 2, "third turn, second missing"),
+    ])
+    ic = ingest.derive_input_content(t)
+    rows = {r.turn_idx: r for r in ic.collect()}
+    assert rows[0].parent_url is None
+    # turn 2's parent (turn 1) is absent -> NULL, not turn 0
+    assert rows[2].parent_url is None
+
+
+def test_out_of_order_turns_stable_output_order(spark):
+    rows = [_row("c1", i, f"turn {i} is great") for i in (3, 0, 2, 1)]
+    out = build_indexer(_t(spark, rows))
+    got = (
+        out.webresource.orderBy("CollectionItemId")
+        .select("CollectionItemId").toPandas().CollectionItemId.tolist()
+    )
+    assert got == ["c1:0", "c1:1", "c1:2", "c1:3"]
+
+
+def test_scorer_determinism_and_valence(spark):
+    t = _t(spark, [
+        _row("c1", 0, "this is great great fast"),   # pos 3
+        _row("c2", 0, "terrible slow failure"),       # neg 2 (fail not failure)
+        _row("c3", 0, "great and terrible"),          # tie -> ambiguous
+        _row("c4", 0, "nothing scoring here zzz"),    # no hits -> no row
+    ])
+    s = build_indexer(t).sentiment.select("Text", "DominantValence", "StPositive", "StNegative").toPandas()
+    by_text = {r.Text: r for r in s.itertuples()}
+    assert by_text["this is great great fast"].DominantValence == 1
+    assert by_text["terrible slow failure"].DominantValence == 2
+    assert by_text["great and terrible"].DominantValence == 3
+    assert "nothing scoring here zzz" not in by_text
