@@ -129,4 +129,18 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     }
     for name, fn in dataprep_fns.items():
         reg[name] = (fn, oracles_dataprep.DATAPREP_ORACLES.get(name))
+
+    from dataflow_opinion_analysis_spark import oracles_events
+    from dataflow_opinion_analysis_spark.operators import events_ops
+
+    events_fns = {
+        "statngram": events_ops.statngram,
+        "wrsocialcount": events_ops.wrsocialcount,
+        "events_sessionization": events_ops.events_sessionization,
+        "events_tumbling_agg": events_ops.events_tumbling_agg,
+        "tpch_q1_like": events_ops.tpch_q1_like,
+        "tpch_top_customers": events_ops.tpch_top_customers,
+    }
+    for name, fn in events_fns.items():
+        reg[name] = (fn, oracles_events.EVENTS_ORACLES.get(name))
     return reg

@@ -1,0 +1,184 @@
+"""Operators over the SF-scaling tables (events, lineitem, orders) plus
+the reference's two satellite pipelines re-expressed:
+
+- statngram  <- DictionaryBuilderPipeline (BuildNgramStats N3 + custom
+  CombineFn G3, DictionaryBuilderPipeline.java:177-274): per-ngram
+  (sum of occurrences, count of docs) for n = 1..5. Pure Catalyst: token
+  HOFs build the n-grams, the hash aggregate gets map-side partial
+  combine exactly where Beam used an accumulator CombineFn.
+- wrsocialcount <- SocialStatsPipeline (J4 side-input max-time join,
+  SocialStatsPipeline.java:112-139): keep only counts newer than the
+  last stored count per web resource.
+
+The events queries demonstrate the batch analogs of the streaming
+operators over a table that actually scales with SF (events = 100k rows
+at sf0.1): sessionization (lag + conditional cumsum), tumbling-window
+aggregation, and a TPC-H-style join/agg for the SQL layer.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+
+from dataflow_opinion_analysis_spark.operators.dataprep import SPARK_TOKENS
+
+NGRAM_MAX_N = 5  # reference NgramMaxN=5, DictionaryBuilderPipeline.java:448
+SESSION_GAP_MIN = 30
+
+
+def _view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    df.createOrReplaceTempView(name)
+    return df
+
+
+def statngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram corpus statistics, n=1..{NGRAM_MAX_N}."""
+    _view(spark, sf_dir, "documents")
+    ngram_arrays = ", ".join(
+        f"""transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),
+                      i -> concat_ws(' ', slice(toks, i, {n})))"""
+        for n in range(1, NGRAM_MAX_N + 1)
+    )
+    return spark.sql(
+        f"""
+WITH toks AS (SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, explode(flatten(array({ngram_arrays}))) AS ngram
+  FROM toks
+)
+SELECT ngram,
+  count(*)                 AS CntOccurrences,
+  count(DISTINCT doc_id)   AS CntDocs
+FROM grams
+WHERE ngram <> ''
+GROUP BY ngram
+"""
+    )
+
+
+def wrsocialcount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synthetic social counts from events (deterministic arithmetic),
+    filtered to 'newer than last stored' — the reference's side-input
+    max-time join (J4). Output one latest row per web resource."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+WITH counts AS (
+  SELECT
+    sha2(concat('wr-', cast(user_id AS string)), 256) AS WebResourceHash,
+    cast(date_format(ts, 'yyyyMMdd') AS int)          AS WrPublicationDateId,
+    ts                                                AS CountTime,
+    '05'                                              AS DocumentCollectionId,
+    cast(user_id AS string)                           AS CollectionItemId,
+    cast(floor(value) AS int)                         AS FbCount,
+    cast(event_id % 1000 AS int)                      AS TwCount
+  FROM events
+),
+latest AS (
+  SELECT WebResourceHash, max(CountTime) AS last_time
+  FROM counts GROUP BY WebResourceHash
+)
+SELECT c.* FROM counts c
+JOIN latest l
+  ON l.WebResourceHash = c.WebResourceHash AND c.CountTime = l.last_time
+"""
+    )
+
+
+def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization: lag + conditional cumsum per user — the
+    batch analog of session_window (R3). 30-minute gap."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   + INTERVAL {SESSION_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sess AS (
+  SELECT *, sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_seq
+  FROM gaps
+)
+SELECT user_id, session_seq,
+  count(*)                         AS n_events,
+  min(ts)                          AS session_start,
+  max(ts)                          AS session_end,
+  sum(cast(round(value * 100) AS bigint))  AS total_value_c
+FROM sess
+GROUP BY user_id, session_seq
+"""
+    )
+
+
+def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour event-time windows per event type (the batch twin
+    of the streaming windowed aggregation)."""
+    from pyspark.sql import functions as F
+
+    ev = _view(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_value_c"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value_c",
+            "n_users",
+        )
+    )
+
+
+def tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape over lineitem: the SQL-layer aggregate benchmark
+    (G7/G8 operator family) on the table that scales with SF."""
+    _view(spark, sf_dir, "lineitem")
+    return spark.sql(
+        """
+SELECT l_returnflag, l_linestatus,
+  sum(cast(round(l_quantity * 100) AS bigint))                 AS sum_qty_c,
+  sum(cast(round(l_extendedprice * 100) AS bigint))            AS sum_base_price_c,
+  sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS sum_disc_price_c,
+  count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+    )
+
+
+def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join/HAVING/top-k shape: revenue per customer via orders x lineitem
+    x customer (broadcast dims, shuffled fact join)."""
+    for t in ("lineitem", "orders", "customer", "nation"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+WITH rev AS (
+  -- per-row exact integer cents, then an order-free integer sum: float
+  -- summation order differs between engines/partitions, integers don't
+  SELECT o.o_custkey,
+         sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS bigint)) AS revenue_c,
+         count(DISTINCT o.o_orderkey) AS n_orders
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+  HAVING count(DISTINCT o.o_orderkey) >= 2
+)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c, r.n_orders,
+  rank() OVER (ORDER BY r.revenue_c DESC, c.c_custkey) AS rev_rank
+FROM rev r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev_rank
+LIMIT 100
+"""
+    )

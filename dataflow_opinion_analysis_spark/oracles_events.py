@@ -1,0 +1,123 @@
+"""DuckDB oracles for operators/events_ops.py."""
+
+from __future__ import annotations
+
+from dataflow_opinion_analysis_spark.operators.dataprep import TOKEN_RE
+from dataflow_opinion_analysis_spark.operators.events_ops import (
+    NGRAM_MAX_N,
+    SESSION_GAP_MIN,
+)
+
+TOKEN_RE_SQL = TOKEN_RE.replace("'", "''")
+DUCK_TOKENS = f"regexp_extract_all(lower(coalesce(text, '')), '{TOKEN_RE_SQL}')"
+
+_ngram_arrays = ", ".join(
+    f"""list_transform(generate_series(1, greatest(len(toks) - {n - 1}, 0)),
+                      i -> array_to_string(toks[i:i+{n - 1}], ' '))"""
+    for n in range(1, NGRAM_MAX_N + 1)
+)
+
+STATNGRAM_SQL = f"""
+WITH toks AS (SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents),
+grams AS (
+  SELECT doc_id, unnest(flatten([{_ngram_arrays}])) AS ngram
+  FROM toks
+)
+SELECT ngram,
+  count(*)               AS CntOccurrences,
+  count(DISTINCT doc_id) AS CntDocs
+FROM grams
+WHERE ngram <> ''
+GROUP BY ngram
+"""
+
+WRSOCIALCOUNT_SQL = """
+WITH counts AS (
+  SELECT
+    sha256('wr-' || cast(user_id AS varchar))       AS WebResourceHash,
+    cast(strftime(ts, '%Y%m%d') AS int)             AS WrPublicationDateId,
+    ts                                              AS CountTime,
+    '05'                                            AS DocumentCollectionId,
+    cast(user_id AS varchar)                        AS CollectionItemId,
+    cast(floor(value) AS int)                       AS FbCount,
+    cast(event_id % 1000 AS int)                    AS TwCount
+  FROM events
+),
+latest AS (
+  SELECT WebResourceHash, max(CountTime) AS last_time
+  FROM counts GROUP BY WebResourceHash
+)
+SELECT c.* FROM counts c
+JOIN latest l
+  ON l.WebResourceHash = c.WebResourceHash AND c.CountTime = l.last_time
+"""
+
+EVENTS_SESSIONIZATION_SQL = f"""
+WITH gaps AS (
+  SELECT user_id, event_id, ts, value,
+    CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+           OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   + INTERVAL {SESSION_GAP_MIN} MINUTE
+         THEN 1 ELSE 0 END AS is_new_session
+  FROM events
+),
+sess AS (
+  SELECT *, sum(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+  FROM gaps
+)
+SELECT user_id, cast(session_seq AS bigint) AS session_seq,
+  count(*)             AS n_events,
+  min(ts)              AS session_start,
+  max(ts)              AS session_end,
+  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS total_value_c
+FROM sess
+GROUP BY user_id, session_seq
+"""
+
+EVENTS_TUMBLING_AGG_SQL = """
+SELECT date_trunc('hour', ts) AS window_start, event_type,
+  count(*)                    AS n,
+  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS total_value_c,
+  count(DISTINCT user_id)     AS n_users
+FROM events
+GROUP BY 1, 2
+"""
+
+TPCH_Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+  cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint) AS sum_qty_c,
+  cast(sum(cast(round(l_extendedprice * 100) AS bigint)) AS bigint) AS sum_base_price_c,
+  cast(sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS bigint) AS sum_disc_price_c,
+  count(*)                                                     AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+TPCH_TOP_CUSTOMERS_SQL = """
+WITH rev AS (
+  SELECT o.o_custkey,
+         cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS bigint)) AS bigint) AS revenue_c,
+         count(DISTINCT o.o_orderkey) AS n_orders
+  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+  GROUP BY o.o_custkey
+  HAVING count(DISTINCT o.o_orderkey) >= 2
+)
+SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c, r.n_orders,
+  rank() OVER (ORDER BY r.revenue_c DESC, c.c_custkey) AS rev_rank
+FROM rev r
+JOIN customer c ON c.c_custkey = r.o_custkey
+JOIN nation n ON n.n_nationkey = c.c_nationkey
+ORDER BY rev_rank
+LIMIT 100
+"""
+
+EVENTS_ORACLES: dict[str, str] = {
+    "statngram": STATNGRAM_SQL,
+    "wrsocialcount": WRSOCIALCOUNT_SQL,
+    "events_sessionization": EVENTS_SESSIONIZATION_SQL,
+    "events_tumbling_agg": EVENTS_TUMBLING_AGG_SQL,
+    "tpch_q1_like": TPCH_Q1_SQL,
+    "tpch_top_customers": TPCH_TOP_CUSTOMERS_SQL,
+}

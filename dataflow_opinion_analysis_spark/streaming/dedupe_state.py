@@ -149,7 +149,6 @@ def dedupe_state_fn(
         state.update(
             ([s.tolist() for s in sigs], hashes, [int(x) for x in last_seen], clock)
         )
-        state.setTimeoutDuration(3600 * 1000)  # drop idle keys after an hour
     else:
         state.remove()
 
@@ -165,10 +164,15 @@ def stateful_near_dedupe(stream: DataFrame) -> DataFrame:
     keyed = with_soft_key(stream).select(
         F.col("document_hash"), "soft_title", "len_bucket", "text"
     )
+    # NoTimeout: with ProcessingTimeTimeout the engine runs continuous
+    # no-data micro-batches to evaluate timeouts (processAllAvailable never
+    # settles). State growth is bounded by the LRU cap per key instead; a
+    # watermarked production stream can use EventTimeTimeout like the
+    # thread assembler.
     return keyed.groupBy("soft_title", "len_bucket").applyInPandasWithState(
         dedupe_state_fn,
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        timeoutConf=GroupStateTimeout.NoTimeout,
     )
