@@ -184,9 +184,9 @@ FROM stats
 TEXT_TOKEN_COUNT_SQL = f"""
 SELECT source,
   count(*)                                                    AS n_docs,
-  sum(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+')))  AS n_ws_tokens,
-  sum(len({DUCK_TOKENS}))                                     AS n_re_tokens,
-  sum(cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint)) AS n_subwords_est
+  cast(sum(len(regexp_split_to_array(trim(coalesce(text, '')), '\\s+'))) AS bigint) AS n_ws_tokens,
+  cast(sum(len({DUCK_TOKENS})) AS bigint)                     AS n_re_tokens,
+  cast(sum(cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint)) AS bigint) AS n_subwords_est
 FROM documents
 GROUP BY source
 """
