@@ -19,9 +19,18 @@ from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
 from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
 
 
+_OUTPUTS_CACHE: dict[tuple[int, str], object] = {}
+
+
 def _outputs(spark: SparkSession, sf_dir: str):
-    t = derive_transcripts(spark, sf_dir)
-    return build_indexer(t)
+    """Memoized per (session, sf_dir): ten registry queries share one
+    pipeline build (with persisted intermediates) instead of re-deriving
+    the whole DAG each."""
+    key = (id(spark), sf_dir)
+    if key not in _OUTPUTS_CACHE:
+        t = derive_transcripts(spark, sf_dir)
+        _OUTPUTS_CACHE[key] = build_indexer(t, persist=True)
+    return _OUTPUTS_CACHE[key]
 
 
 def _stats_query(name: str):
