@@ -101,11 +101,19 @@ def generate_transcripts(
     text[idx] = text[idx - 1] + " via feed"
 
     # timestamps: conv start staggered, turns gap_seconds apart, occasional
-    # session break (gap far above the session gap) every `session_every` turns
+    # session break (gap far above the session gap) every `session_every`
+    # turns. The break is CUMULATIVE within the conversation — every turn
+    # after a break shifts by +3600s — so the gap persists and later turns
+    # never travel back in time.
     conv_start = start_epoch + conv_num * 7  # stagger 7s per conversation
     session_breaks = (turn_idx > 0) & (turn_idx % session_every == 0)
-    offsets = turn_idx.astype(np.int64) * gap_seconds + session_breaks.cumsum() * 0  # cumsum placeholder
-    ts_sec = conv_start + offsets + np.where(session_breaks, 3600, 0)
+    brk_total = session_breaks.astype(np.int64).cumsum()
+    # per-conversation cumulative count: subtract the running total at the
+    # conversation's first turn (turn_idx==0 is never a break, so the value
+    # AT the first turn counts only earlier conversations' breaks)
+    brk_in_conv = brk_total - brk_total[starts[conv_num]]
+    offsets = turn_idx.astype(np.int64) * gap_seconds + brk_in_conv * 3600
+    ts_sec = conv_start + offsets
 
     # out-of-order: swap ts with previous turn
     ooo = (rng.random(n) < out_of_order_frac) & (turn_idx > 0)

@@ -55,15 +55,21 @@ def _tokenize(texts: pd.Series) -> pd.DataFrame:
 
 
 def _split_sentences(pdf: pd.DataFrame) -> pd.DataFrame:
-    """1 doc row -> N sentence rows with passage_idx (1-based)."""
+    """1 doc row -> N sentence rows with passage_idx (1-based).
+
+    passage_idx is the RAW split-array position (numbered BEFORE dropping
+    empty/whitespace segments), matching the DuckDB oracle's
+    generate_series(1, len(parts)) convention — so SentimentHash agrees
+    across engines even for texts with empty segments ('a.. b')."""
     s = pdf["text"].fillna("").str.split(SENTENCE_SPLIT_RE)
     e = s.explode()
+    raw_idx = e.groupby(level=0).cumcount().astype("int32") + 1
     e = e.str.strip()
     keep = e.str.len() > 0
-    e = e[keep]
+    e, raw_idx = e[keep], raw_idx[keep]
     out = pdf.loc[e.index, ["document_hash", "conv_id", "turn_idx"]].copy()
     out["passage_text"] = e.values
-    out["passage_idx"] = out.groupby(level=0).cumcount().astype("int32") + 1
+    out["passage_idx"] = raw_idx.values
     return out.reset_index(drop=True)
 
 

@@ -8,13 +8,20 @@ a portable hex->bigint bridge (`conv(substr(sha2(s),1,8),16,10)`), joins
 and windows for the pairwise stages. No Python in the hot path at all.
 
 Scale notes (100 TB):
-- shingle inverted-index joins shuffle on the shingle key; frequency-cap
-  hot shingles (HAVING count <= F) in a real corpus to bound skew;
-- MinHash+LSH is the scale path: candidate pairs come from equi-joins on
-  band keys (16 bands x 2 rows), verified by exact Jaccard — the
-  classic banding scheme, all shuffle-friendly equi-joins;
-- SimHash pairs here use an all-pairs check (fine at fixture scale);
-  at scale you block on simhash prefix bytes first (same trick as LSH).
+- shingle inverted-index joins shuffle on the shingle key; hot shingles
+  (stopword-ish n-grams appearing in a large share of docs) are
+  frequency-capped (document frequency <= MAX_SHINGLE_DF) before the
+  pair join to bound skew — mirrored identically in the DuckDB oracle;
+- MinHash+LSH is the scale path: all K permutation-mins are computed in
+  ONE hash aggregate over the shingle table (no seed-explosion), then
+  candidate pairs come from equi-joins on band keys (16 bands x 2 rows),
+  verified by exact Jaccard — the classic banding scheme, all
+  shuffle-friendly equi-joins;
+- SimHash pairs are blocked on 8 x 4-bit bands: Hamming distance <= 6
+  can corrupt at most 6 of the 8 bands, so >= 2 bands stay equal and
+  banding has EXACT recall at the threshold — the equi-join on
+  (band, band_val) replaces the O(N^2) all-pairs theta join while
+  provably returning the same rows.
 """
 
 from __future__ import annotations
@@ -29,14 +36,30 @@ LSH_BANDS = 16  # 16 bands x 2 rows = 32 hashes
 MINHASH_P = 2147483647
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
+SIMHASH_BANDS = 8  # 8 bands x 4 bits; exact recall for hamming <= 6 (pigeonhole)
 FINGERPRINT_N = 5
+# skew guard: drop shingles present in more than this many documents from
+# the inverted-index pair join (both engines apply the same cap)
+MAX_SHINGLE_DF = 1000
+
+
+def spark_shingles(n: int, toks: str = "toks") -> str:
+    """Guarded word-n-gram builder. Spark `sequence(1, 0)` yields the
+    DESCENDING [1, 0] (default step -1), so the unguarded transform calls
+    slice(toks, 0, n) and throws INVALID_PARAMETER_VALUE.START on any doc
+    with fewer than n tokens; the CASE guard returns an empty array
+    instead, matching DuckDB's empty generate_series(1, 0)."""
+    return (
+        f"CASE WHEN size({toks}) >= {n} THEN "
+        f"transform(sequence(1, size({toks}) - {n - 1}), "
+        f"i -> concat_ws(' ', slice({toks}, i, {n}))) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+
 
 # shared Spark-dialect snippets
 SPARK_TOKENS = f"""regexp_extract_all(lower(coalesce(text, '')), "{TOKEN_RE}", 0)"""
-SPARK_SHINGLES = f"""
-  transform(sequence(1, greatest(size(toks) - {SHINGLE_N - 1}, 0)),
-            i -> concat_ws(' ', slice(toks, i, {SHINGLE_N})))
-"""
+SPARK_SHINGLES = spark_shingles(SHINGLE_N)
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -65,14 +88,24 @@ FROM norm
 
 
 def _shingle_cte_spark() -> str:
+    # raw_shingles -> DF-capped shingles: the cap drops skew-inducing hot
+    # shingles consistently from BOTH the pair join and the Jaccard sizes,
+    # so similarity stays internally consistent (and oracle-identical).
     return f"""
 toks AS (
   SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents
 ),
-shingles AS (
+raw_shingles AS (
   SELECT DISTINCT doc_id, shingle
   FROM (SELECT doc_id, explode({SPARK_SHINGLES}) AS shingle FROM toks)
   WHERE shingle <> ''
+),
+rare AS (
+  SELECT shingle FROM raw_shingles GROUP BY shingle
+  HAVING count(*) <= {MAX_SHINGLE_DF}
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle FROM raw_shingles s JOIN rare r ON r.shingle = s.shingle
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
@@ -102,12 +135,27 @@ WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_TH
 
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash({MINHASH_K}) + LSH banding ({LSH_BANDS} bands x 2 rows):
-    shingle -> portable 32-bit hash -> k permutation mins -> band keys ->
-    bucket equi-join for candidates -> exact-Jaccard verification.
+    shingle -> portable 32-bit hash -> K permutation mins in ONE hash
+    aggregate (K min() expressions over the shingle table — no seed cross
+    join, no row explosion) -> band keys -> bucket equi-join for
+    candidates -> exact-Jaccard verification.
 
-    At cluster scale every stage is an equi-shuffle (shingle, (doc,seed),
-    band key) — no all-pairs anywhere."""
+    At cluster scale every stage is an equi-shuffle (shingle, doc_id,
+    band key) — no all-pairs anywhere, and the signature aggregate gets
+    map-side partial combine for free."""
     _docs(spark, sf_dir)
+    # K permutation mins as one aggregate; band key format matches the
+    # DuckDB mirror exactly: sorted "{i}:{mh}" pairs joined by '_'
+    mins = ",\n         ".join(
+        f"min((h * {2 * i + 1} + {i * i + 7}) % {MINHASH_P}) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    band_structs = ", ".join(
+        "named_struct('band', {b}, 'band_key', concat_ws('_', sort_array(array("
+        "concat('{i0}:', cast(mh{i0} AS string)), "
+        "concat('{i1}:', cast(mh{i1} AS string))))))".format(b=b, i0=2 * b, i1=2 * b + 1)
+        for b in range(LSH_BANDS)
+    )
     return spark.sql(
         f"""
 WITH {_shingle_cte_spark()},
@@ -116,18 +164,16 @@ hashed AS (
          cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
   FROM shingles
 ),
-seeds AS (SELECT explode(sequence(0, {MINHASH_K - 1})) AS i),
 sig AS (
-  SELECT doc_id, i,
-         min((h * (2 * i + 1) + (i * i + 7)) % {MINHASH_P}) AS mh
-  FROM hashed CROSS JOIN seeds
-  GROUP BY doc_id, i
+  SELECT doc_id,
+         {mins}
+  FROM hashed
+  GROUP BY doc_id
 ),
 bands AS (
-  SELECT doc_id, cast(i / 2 AS int) AS band,
-         concat_ws('_', sort_array(collect_list(concat(cast(i AS string), ':', cast(mh AS string))))) AS band_key
+  SELECT doc_id, bb.band AS band, bb.band_key AS band_key
   FROM sig
-  GROUP BY doc_id, cast(i / 2 AS int)
+  LATERAL VIEW explode(array({band_structs})) t AS bb
 ),
 cand AS (
   SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -153,8 +199,16 @@ WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_TH
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{SIMHASH_BITS}-bit SimHash per document + near-dup pairs with
-    Hamming distance <= {SIMHASH_MAX_HAMMING} (bit_count of xor)."""
+    Hamming distance <= {SIMHASH_MAX_HAMMING} (bit_count of xor).
+
+    Pair generation is blocked on {SIMHASH_BANDS} x 4-bit prefix bands:
+    <= {SIMHASH_MAX_HAMMING} differing bits can corrupt at most
+    {SIMHASH_MAX_HAMMING} of the {SIMHASH_BANDS} bands, so at least two
+    bands remain equal in every qualifying pair — the (band, band_val)
+    equi-join has EXACT recall and the same output as the all-pairs theta
+    join, at O(N) shuffle instead of O(N^2) comparisons."""
     _docs(spark, sf_dir)
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
     return spark.sql(
         f"""
 WITH toks AS (
@@ -176,12 +230,22 @@ sh AS (
   SELECT doc_id,
          sum(CASE WHEN w > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS simhash
   FROM bits GROUP BY doc_id
+),
+banded AS (
+  SELECT doc_id, simhash, b AS band,
+         shiftright(simhash, b * {band_bits}) & {(1 << band_bits) - 1} AS band_val
+  FROM sh LATERAL VIEW explode(sequence(0, {SIMHASH_BANDS - 1})) s AS b
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+         a.simhash AS simhash_a, b.simhash AS simhash_b
+  FROM banded a JOIN banded b
+    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
 )
-SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-       a.simhash AS simhash_a, b.simhash AS simhash_b,
-       bit_count(a.simhash ^ b.simhash) AS hamming
-FROM sh a JOIN sh b ON a.doc_id < b.doc_id
-WHERE bit_count(a.simhash ^ b.simhash) <= {SIMHASH_MAX_HAMMING}
+SELECT doc_a, doc_b, simhash_a, simhash_b,
+       bit_count(simhash_a ^ simhash_b) AS hamming
+FROM cand
+WHERE bit_count(simhash_a ^ simhash_b) <= {SIMHASH_MAX_HAMMING}
 """
     )
 
@@ -291,10 +355,7 @@ WITH toks AS (
   SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents
 ),
 sh AS (
-  SELECT doc_id, explode(
-    transform(sequence(1, greatest(size(toks) - {FINGERPRINT_N - 1}, 0)),
-              i -> concat_ws(' ', slice(toks, i, {FINGERPRINT_N})))
-  ) AS shingle
+  SELECT doc_id, explode({spark_shingles(FINGERPRINT_N)}) AS shingle
   FROM toks
 )
 SELECT doc_id, min(sha2(shingle, 256)) AS fingerprint

@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from dataflow_opinion_analysis_spark.operators.dataprep import SPARK_TOKENS
+from dataflow_opinion_analysis_spark.operators.dataprep import SPARK_TOKENS, spark_shingles
 
 NGRAM_MAX_N = 5  # reference NgramMaxN=5, DictionaryBuilderPipeline.java:448
 SESSION_GAP_MIN = 30
@@ -36,9 +36,7 @@ def statngram(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram corpus statistics, n=1..{NGRAM_MAX_N}."""
     _view(spark, sf_dir, "documents")
     ngram_arrays = ", ".join(
-        f"""transform(sequence(1, greatest(size(toks) - {n - 1}, 0)),
-                      i -> concat_ws(' ', slice(toks, i, {n})))"""
-        for n in range(1, NGRAM_MAX_N + 1)
+        spark_shingles(n) for n in range(1, NGRAM_MAX_N + 1)
     )
     return spark.sql(
         f"""

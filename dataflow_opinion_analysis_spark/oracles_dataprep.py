@@ -26,10 +26,17 @@ SHINGLE_CTE = f"""
 toks AS (
   SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
 ),
-shingles AS (
+raw_shingles AS (
   SELECT DISTINCT doc_id, shingle
   FROM (SELECT doc_id, unnest({DUCK_SHINGLES}) AS shingle FROM toks)
   WHERE shingle <> ''
+),
+rare AS (
+  SELECT shingle FROM raw_shingles GROUP BY shingle
+  HAVING count(*) <= {dataprep.MAX_SHINGLE_DF}
+),
+shingles AS (
+  SELECT s.doc_id, s.shingle FROM raw_shingles s JOIN rare r ON r.shingle = s.shingle
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 """

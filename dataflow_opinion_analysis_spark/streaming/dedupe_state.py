@@ -18,8 +18,14 @@ This catches near-dupes ACROSS micro-batches — the within-batch vote rule
 rule reproduces the reference's semantics; this operator adds the
 streaming-native fingerprint memory the reference lacks.
 
-MinHash math is numpy-vectorized over the whole group batch (one matrix
-min per batch, no per-row Python).
+MinHash math is numpy-vectorized over the whole group batch: shingling is
+pandas groupby-shift string concat, hashing is one pd.util.hash_array call
+over all distinct (row, shingle) pairs of the batch, signatures come from
+one np.minimum.at grouped min, and batch-vs-state / batch-vs-batch
+similarity are two broadcast equality means. The only remaining loop is
+the per-row DECISION (admit vs dupe), which is sequential by nature
+(earlier batch rows become candidate winners for later ones) and does no
+hashing or string work — O(batch + state) numpy indexing per row.
 """
 
 from __future__ import annotations
@@ -63,30 +69,50 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def _shingle_hashes(text: str) -> np.ndarray:
-    """Word 3-gram shingles -> stable 32-bit ints (sha256-based, matching
-    operators/dataprep.py's portable hash bridge)."""
-    import hashlib
+def batch_signatures(texts: pd.Series) -> np.ndarray:
+    """MinHash signatures for a WHOLE batch, no per-row Python:
 
-    toks = pd.Series([text]).str.lower().str.findall(r"[a-z0-9']+")[0]
-    if len(toks) < SHINGLE_N:
-        shingles = [" ".join(toks)] if toks else []
-    else:
-        shingles = [" ".join(toks[i : i + SHINGLE_N]) for i in range(len(toks) - SHINGLE_N + 1)]
-    if not shingles:
-        return np.zeros(0, dtype=np.int64)
-    return np.array(
-        [int(hashlib.sha256(s.encode()).hexdigest()[:8], 16) for s in set(shingles)],
-        dtype=np.int64,
+    tokenize (vectorized str.findall) -> explode -> 3-gram shingles via
+    groupby-shift string concat -> one pd.util.hash_array over all
+    distinct (row, shingle) pairs (deterministic, C-level) -> grouped
+    column-min via np.minimum.at. Rows with no shingles keep the all-P
+    sentinel signature."""
+    n = len(texts)
+    sigs = np.full((n, K), P, dtype=np.int64)
+    toks = texts.fillna("").str.lower().str.findall(r"[a-z0-9']+")
+    e = toks.explode().dropna()
+    if e.empty:
+        return sigs
+    df = pd.DataFrame({"row": e.index.to_numpy(), "tok": e.to_numpy(dtype=object)})
+    g = df.groupby("row")["tok"]
+    t1, t2 = g.shift(-1), g.shift(-2)
+    full_mask = t2.notna().to_numpy()
+    sh_rows = df["row"].to_numpy()[full_mask]
+    sh_vals = (
+        df["tok"].to_numpy(dtype=object)[full_mask]
+        + " " + t1.to_numpy(dtype=object)[full_mask]
+        + " " + t2.to_numpy(dtype=object)[full_mask]
     )
+    # rows with < SHINGLE_N tokens fall back to one whole-text shingle
+    counts = df.groupby("row").size()
+    short = counts[counts < SHINGLE_N]
+    if len(short):
+        short_sh = df[df["row"].isin(short.index)].groupby("row")["tok"].agg(" ".join)
+        sh_rows = np.concatenate([sh_rows, short_sh.index.to_numpy()])
+        sh_vals = np.concatenate([sh_vals, short_sh.to_numpy(dtype=object)])
+    pairs = pd.DataFrame({"row": sh_rows, "sh": sh_vals}).drop_duplicates()
+    h = (
+        pd.util.hash_array(pairs["sh"].to_numpy(dtype=object)).astype(np.int64)
+        & 0xFFFFFFFF
+    ).reshape(-1, 1)
+    perms = (h * _A + _B) % P  # (n_shingles, K)
+    np.minimum.at(sigs, pairs["row"].to_numpy(), perms)
+    return sigs
 
 
 def minhash_signature(text: str) -> np.ndarray:
-    h = _shingle_hashes(text)
-    if h.size == 0:
-        return np.full(K, P, dtype=np.int64)
-    # (n_shingles, K) permutations -> column mins
-    return ((h.reshape(-1, 1) * _A + _B) % P).min(axis=0)
+    """Single-text convenience wrapper (tests); batches use batch_signatures."""
+    return batch_signatures(pd.Series([text]))[0]
 
 
 def dedupe_state_fn(
@@ -109,32 +135,53 @@ def dedupe_state_fn(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            # signatures for the whole batch (vectorized per text; the
-            # shingle hash per doc is a numpy matrix op)
-            batch_sigs = np.stack([minhash_signature(t or "") for t in pdf["text"]])
-            res = []
-            for i in range(len(pdf)):
-                sig = batch_sigs[i]
-                if sigs.shape[0]:
-                    matches = (sigs == sig.reshape(1, K)).mean(axis=1)
-                    j = int(np.argmax(matches))
-                    best = float(matches[j])
-                else:
-                    j, best = -1, 0.0
+            b = len(pdf)
+            batch_sigs = batch_signatures(pdf["text"].reset_index(drop=True))
+            doc_hashes = pdf["document_hash"].to_numpy(dtype=object)
+            # all similarity math up front, two broadcast equality-means:
+            # batch x stored-state and batch x batch (earlier-row winners)
+            if sigs.shape[0]:
+                sim_state = (batch_sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+            else:
+                sim_state = np.zeros((b, 0))
+            sim_batch = (batch_sigs[:, None, :] == batch_sigs[None, :, :]).mean(axis=2)
+            # decision pass: sequential by construction (an admitted row
+            # becomes a candidate winner for later rows) but does only
+            # O(state + batch) numpy indexing per row — no hashing, no
+            # string work, no pandas calls
+            admitted = np.zeros(b, dtype=bool)
+            is_dupe = np.zeros(b, dtype=bool)
+            winner = np.empty(b, dtype=object)
+            est = np.zeros(b, dtype=np.float64)
+            new_idx: list[int] = []
+            for i in range(b):
+                best_s = float(sim_state[i].max()) if sim_state.shape[1] else 0.0
+                row_prior = sim_batch[i, :i] * admitted[:i]
+                best_b = float(row_prior.max()) if i else 0.0
+                best = max(best_s, best_b)
+                est[i] = best
                 if best >= JACCARD_THRESHOLD:
-                    res.append((True, hashes[j], best))
-                    last_seen[j] = clock
+                    is_dupe[i] = True
+                    if best_s >= best_b:  # ties resolve to stored state (older)
+                        j = int(sim_state[i].argmax())
+                        winner[i] = hashes[j]
+                        last_seen[j] = clock
+                    else:
+                        winner[i] = doc_hashes[int(row_prior.argmax())]
                 else:
-                    sigs = np.vstack([sigs, sig.reshape(1, K)])
-                    hashes.append(pdf["document_hash"].iloc[i])
-                    last_seen.append(clock)
-                    res.append((False, pdf["document_hash"].iloc[i], best))
+                    admitted[i] = True
+                    winner[i] = doc_hashes[i]
+                    new_idx.append(i)
+            if new_idx:
+                sigs = np.vstack([sigs, batch_sigs[new_idx]])
+                hashes.extend(doc_hashes[new_idx].tolist())
+                last_seen.extend([clock] * len(new_idx))
             out = pdf[["document_hash"]].copy()
             out["soft_title"] = soft_title
             out["len_bucket"] = np.int32(len_bucket)
-            out["is_dupe"] = [r[0] for r in res]
-            out["winner_document_hash"] = [r[1] for r in res]
-            out["est_jaccard"] = [r[2] for r in res]
+            out["is_dupe"] = is_dupe
+            out["winner_document_hash"] = winner
+            out["est_jaccard"] = est
             out_frames.append(out)
 
     # LRU eviction to bound state

@@ -140,8 +140,19 @@ def process_batch(
         ),
         batch_id,
     )
-    mapping = sinks.content_index.read().select("content_hash", "winner_document_hash")
-    routed = to_index.join(F.broadcast(mapping), "content_hash", "left")
+    # The content index grows monotonically (one row per distinct content
+    # hash ever ingested) — broadcasting it per micro-batch would grow
+    # driver memory without bound. Instead semi-join the index down to
+    # only THIS batch's content hashes, then shuffle-join: per-batch
+    # memory is O(batch), not O(history), and both joins are plain
+    # hash-partitioned equi-joins on content_hash at any scale.
+    batch_hashes = to_index.select("content_hash").distinct()
+    mapping = (
+        sinks.content_index.read()
+        .join(batch_hashes, "content_hash", "left_semi")
+        .select("content_hash", "winner_document_hash")
+    )
+    routed = to_index.join(mapping, "content_hash", "left")
     winners = routed.filter(
         F.col("expected_document_hash") == F.col("winner_document_hash")
     ).drop("winner_document_hash")
