@@ -82,7 +82,7 @@ def cmd_statscalc(args) -> int:
     sentiment = spark.read.parquet(f"{args.warehouse}/sentiment")
     webresource = spark.read.parquet(f"{args.warehouse}/webresource")
     stats.register_views(spark, document, sentiment, webresource)
-    for name, df in stats.run_stats(spark).items():
+    for name, df in stats.build_stats(spark).items():
         df.write.mode("overwrite").parquet(f"{args.warehouse}/{name}")
         print(f"wrote {name}")
     spark.stop()

@@ -33,14 +33,32 @@ def _outputs(spark: SparkSession, sf_dir: str):
     return _OUTPUTS_CACHE[key]
 
 
-def _stats_query(name: str):
-    """stat-layer query over the fact tables produced by the full
-    indexer pipeline (StatsCalcPipelineUtils.java ports — plans/stats.py)."""
-
-    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _stats_tables(spark: SparkSession, sf_dir: str):
+    """Memoized: materialize the whole chained stats DAG once per
+    (session, sf_dir) — wrsocialcount/vwlast7days inputs, then
+    stattopic -> statstoryimpact -> statstoryrank -> stattoptopic7d ->
+    stattopstory7d -> stattoptopic7dsentiment in the reference's order
+    (StatsCalcPipeline.java:73-83)."""
+    key = (id(spark), sf_dir, "stats")
+    if key not in _OUTPUTS_CACHE:
         out = _outputs(spark, sf_dir)
         stats.register_views(spark, out.document, out.sentiment, out.webresource)
-        return spark.sql(stats.STATS_QUERIES[name])
+        _OUTPUTS_CACHE[key] = stats.build_stats(
+            spark,
+            persist=True,
+            domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
+            domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+        )
+    return _OUTPUTS_CACHE[key]
+
+
+def _stats_query(name: str):
+    """Gate projection over a chained stats table (StatsCalcPipelineUtils
+    ports — plans/stats.py; DuckDB mirror in oracles_stats.py)."""
+
+    def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+        _stats_tables(spark, sf_dir)
+        return spark.sql(stats.GATE_SELECTS_SPARK[name])
 
     run.__doc__ = f"stats layer: {name} (see plans/stats.py)"
     return run
@@ -117,13 +135,21 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "indexer_sentiment": (q_indexer_sentiment, oracles.sentiment_sql()),
         "indexer_webresource": (q_indexer_webresource, oracles.webresource_sql()),
     }
-    for name, sql in oracles_stats.STATS_ORACLES.items():
-        reg[f"stats_{name}"] = (_stats_query(name), sql)
+    for name in stats.GATE_SELECTS_SPARK:
+        reg[f"stats_{name}"] = (
+            _stats_query(name),
+            oracles_stats.oracle_sql(
+                name, stats.GATE_MIN_DOMAIN_DOCS, stats.GATE_MIN_BASIC8
+            ),
+        )
 
     from dataflow_opinion_analysis_spark import oracles_dataprep
+    from dataflow_opinion_analysis_spark.functions import entities
     from dataflow_opinion_analysis_spark.operators import dataprep, multimodal, similarity
 
     dataprep_fns = {
+        "text_entities": entities.text_entities,
+        "split_ab": entities.split_ab_assignment,
         "dedup_exact": dataprep.dedup_exact,
         "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dataprep.dedup_minhash_lsh,

@@ -289,6 +289,42 @@ SELECT doc_id,
 FROM documents
 """
 
+# ---------------------------------------------------------------------------
+# entity enrichment (N2) + A/B split (F4) — functions/entities.py mirrors
+# ---------------------------------------------------------------------------
+
+from dataflow_opinion_analysis_spark.functions import entities as _ent
+
+_CAP_DUCK = """array_to_string(list_transform(string_split(coalesce(text, ''), ' '),
+  w -> CASE WHEN (cast('0x' || substr(sha256(w), 1, 4) AS bigint) % 3) = 0
+            THEN upper(substr(w, 1, 1)) || substr(w, 2) ELSE w END), ' ')"""
+
+TEXT_ENTITIES_SQL = f"""
+WITH cap AS (SELECT doc_id, {_CAP_DUCK} AS captext FROM documents),
+phrases AS (
+  SELECT doc_id, unnest(regexp_extract_all(captext, '{_ent.ENTITY_RE_SQL}')) AS phrase
+  FROM cap
+),
+counts AS (SELECT doc_id, phrase, count(*) AS n FROM phrases GROUP BY doc_id, phrase),
+tot AS (SELECT doc_id, cast(sum(n) AS bigint) AS total FROM counts GROUP BY doc_id),
+ranked AS (
+  SELECT c.doc_id, '{_ent.CNLP_TAG_PREFIX}' || c.phrase AS entity,
+         round(c.n / cast(t.total AS double), 6) AS salience,
+         row_number() OVER (PARTITION BY c.doc_id
+                            ORDER BY c.n / cast(t.total AS double) DESC, c.phrase) AS entity_rank
+  FROM counts c JOIN tot t ON t.doc_id = c.doc_id
+)
+SELECT doc_id, entity, salience, entity_rank
+FROM ranked WHERE entity_rank <= {_ent.ENTITY_TOP_K}
+"""
+
+SPLIT_AB_SQL = f"""
+SELECT doc_id,
+  CASE WHEN (cast('0x' || substr(sha256(cast(doc_id AS varchar)), 1, 8) AS bigint) % {_ent.SPLIT_MOD}) < {int(_ent.SPLIT_MOD * 0.2)}
+       THEN 'B' ELSE 'A' END AS branch
+FROM documents
+"""
+
 DATAPREP_ORACLES: dict[str, str] = {
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
@@ -298,6 +334,8 @@ DATAPREP_ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_entities": TEXT_ENTITIES_SQL,
+    "split_ab": SPLIT_AB_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,

@@ -1,34 +1,92 @@
-"""The stats layer — Spark-SQL re-expressions of the reference's
+"""The stats layer — faithful Spark-SQL ports of the reference's
 generated BigQuery queries (StatsCalcPipelineUtils.java), run over our
-fact tables instead of BigQuery.
+fact tables instead of BigQuery, WITH the reference's table dependency
+chain materialized:
 
-Dialect ports (SURVEY.md §2.10 notes):
-  ARRAY_AGG(DISTINCT x)        -> sort_array(collect_set(x)) (order pinned)
-  STRING_AGG / ARRAY_TO_STRING -> array_join
-  IF(c,a,b)                    -> CASE WHEN
-  GREATEST(x, 0.01) floors     -> greatest(x, 0.01)
-  FORMAT_TIMESTAMP('%Y_%U')    -> date_format(ts,'YYYY_ww') deviation noted
-  UNNEST correlated lateral    -> LATERAL VIEW explode / inline explode()
+    stattopic (daily)        <- StatsCalcPipelineUtils.java:59-138
+    statstoryimpact (daily)  <- :158-216   (cntFb from wrsocialcount)
+    statdomainopinions       <- :236-408   (per (Topic, Domain), Basic8)
+    statstoryrank            <- :426-482   (reads statstoryimpact, cntFb ranks)
+    stattoptopic7d           <- :500-545   (reads stattopic + vwlast7days,
+                                            IsTop20Topic, CycleTopicDominance,
+                                            IsDominantTopic7d)
+    stattopstory7d           <- :554-592   (reads stattoptopic7d + statstoryrank,
+                                            rankSocial by cntFb)
+    stattoptopic7dsentiment  <- :601-639   (reads stattoptopic7d + stattopic ->
+                                            sentiment rows)
 
-Each builder returns one SQL string over views named `document`,
-`sentiment`, `webresource`, `topic` — register the fact DataFrames first
-(see register_views). The same logical queries are mirrored in DuckDB
-dialect by ``dataflow_opinion_analysis_spark.oracles`` for the
-correctness gate.
+plus the two inputs the reference provisions outside the stats job:
 
-Reference query shapes ported:
-  stattopic            <- StatsCalcPipelineUtils.java:59-138
-  statstoryimpact      <- :160-217
-  statstoryrank        <- :426-483
-  statdomainopinions   <- :236-409
-  stattoptopic7d       <- :500-546
-  stattopstory7d       <- :564-593
-  stattoptopic7dsentiment <- :611-640
+    wrsocialcount  <- SocialStatsPipeline.java (Facebook counts per WR).
+                      No external API exists here, so counts are DERIVED
+                      deterministically from WebResourceHash (two monotone
+                      snapshots at +1 and +3 days) — keyed to the real
+                      webresource rows so every cntFb join and rank is
+                      exercised end to end, and mirrored exactly in the
+                      DuckDB oracle.
+    vwlast7days    <- bigquery/build_views.sh:33-52 (T-1..T-7 TimeMarker
+                      rows off max(webresource.PublicationTime)).
+
+Dialect ports (SURVEY.md §2.10):
+  ARRAY_AGG(DISTINCT x)  -> sort_array(collect_set(x))   (order pinned;
+                            the reference's ARRAY_AGG is unordered)
+  ARRAY_AGG(x)           -> sort_array(collect_list(x))
+  STRING_AGG             -> array_join(sort_array(collect_set(...)))
+  IF(c,a,b)              -> CASE WHEN
+  FORMAT_TIMESTAMP('%Y_%U') -> year + ISO weekofyear (deviation: ISO weeks,
+                            identical on both engines)
+  UNNEST                 -> LATERAL VIEW explode
+
+Documented deviations from the reference (each needed for deterministic
+cross-engine comparison or multi-day recompute):
+  * statstoryimpact final join adds SnapshotDateId (the reference INSERTs
+    one day at a time, so its DocumentHash-only join is implicitly
+    per-day; our full-range recompute must key by day too).
+  * statstoryrank s2 LIMIT adds a DocumentHash tie-break.
+  * toptopics7dtop20 LIMIT 20 adds a Topic tie-break, and
+    Avg/CycleTopicDominance are rounded to 9dp so FP association order
+    cannot flip top-20 membership between engines.
+
+Scale notes (100 TB): every join in the chain is an equi-join on
+(day, hash/topic/domain) keys — the reference's `PublicationDateId
+BETWEEN snapshot-8 AND snapshot` range predicate is re-expressed as an
+explode(sequence(pub, pub+8)) on the fact side + equi-join on
+SnapshotDateId, so no BroadcastNestedLoop appears anywhere. Daily tables
+recompute incrementally per-day via DELETE+INSERT partition overwrite
+(plans/stats_incremental.py), exactly like the reference's per-TimeMarker
+DELETE+INSERT (StatsCalcPipelineUtils.java:759-833).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+
+from dataflow_opinion_analysis_spark.schemas import ST_COLUMNS
+
+# window widths (reference constants)
+IMPACT_WINDOW_DAYS = 8     # statstoryimpact p2 INTERVAL 8 DAY
+STORYRANK_LOOKBACK = 45    # statstoryrank s1 INTERVAL 45 DAY
+RANK_CUTOFF = 10000        # toptopics2 rankPubdomains < 10000
+TOP_STORY_LIMIT = 100000   # statstoryrank s2 LIMIT
+# statdomainopinions thresholds (reference: >10 docs, Basic8Score>=30).
+# Our Domain is the conversation id (conv:// urls), so fixture-scale
+# domains are much smaller than web domains — defaults stay faithful and
+# the gate passes explicit values sized to the fixtures.
+MIN_DOMAIN_DOCS = 10
+MIN_BASIC8 = 30.0
+# gate-sized thresholds: conversations cap at 8 turns in the oracle
+# fixtures, so no Domain can clear >10 docs, and the fixture text fires
+# only the positive/negative lexicon dims (Basic8Score stays at its 0.01
+# floor) — the gate exercises the full s1..s7 shape with thresholds the
+# fixtures can meet (both engines get the same values, comparison exact)
+GATE_MIN_DOMAIN_DOCS = 2
+GATE_MIN_BASIC8 = 0.0
+
+ST_LIST = ", ".join(ST_COLUMNS)
+
+# ---------------------------------------------------------------------------
+# input views
+# ---------------------------------------------------------------------------
 
 
 def register_views(
@@ -50,205 +108,406 @@ def register_views(
     topic.createOrReplaceTempView("topic")
 
 
-# ---------------------------------------------------------------------------
-# stattopic: per (day, topic) opinion counts (StatsCalcPipelineUtils.java:59-138)
-# G4 conditional COUNT(DISTINCT), G5 ARRAY_AGG(DISTINCT), J8 blocklist anti-join
-# ---------------------------------------------------------------------------
-STATTOPIC_SQL = """
-WITH doc_tags AS (
-  SELECT d.DocumentHash, t.Tag, t.GoodAsTopic
-  FROM document d LATERAL VIEW explode(d.Tags) tt AS t
-)
+# deterministic social counts keyed to REAL WebResourceHash rows
+# (stand-in for SocialStatsPipeline's Facebook API fetch): two snapshots
+# per WR at +1/+3 days with monotone counts derived from the hash.
+WRSOCIALCOUNT_SQL = """
 SELECT
-  d.PublicationDateId                                        AS SnapshotDateId,
-  g.Tag                                                      AS Topic,
-  count(DISTINCT d.DocumentHash)                             AS cntDocs,
-  count(DISTINCT s.SentimentHash)                            AS cntSentiments,
-  count(DISTINCT CASE WHEN s.DominantValence = 1 THEN s.SentimentHash END) AS cntPositives,
-  count(DISTINCT CASE WHEN s.DominantValence = 2 THEN s.SentimentHash END) AS cntNegatives,
-  count(DISTINCT CASE WHEN s.DominantValence = 3 THEN s.SentimentHash END) AS cntAmbiguous,
-  count(DISTINCT CASE WHEN s.DominantValence = 5 THEN s.SentimentHash END) AS cntGeneral,
-  array_join(sort_array(collect_set(d.DocumentHash)), ',')   AS documentHashes
-FROM document d
-JOIN doc_tags g ON g.DocumentHash = d.DocumentHash
-JOIN sentiment s ON s.DocumentHash = d.DocumentHash
-WHERE g.GoodAsTopic = true
-  AND g.Tag NOT IN (SELECT Topic FROM topic WHERE IsBlocked = 1)
-GROUP BY d.PublicationDateId, g.Tag
+  WebResourceHash,
+  PublicationDateId AS WrPublicationDateId,
+  timestampadd(DAY, k, PublicationTime) AS CountTime,
+  DocumentCollectionId,
+  CollectionItemId,
+  cast((pmod(cast(conv(substr(sha2(WebResourceHash, 256), 1, 6), 16, 10) AS bigint), 500) + 1) * k AS int) AS FbCount,
+  cast(pmod(cast(conv(substr(sha2(WebResourceHash, 256), 7, 6), 16, 10) AS bigint), 300) * k AS int) AS TwCount
+FROM webresource
+LATERAL VIEW explode(array(1, 3)) t AS k
 """
 
-# ---------------------------------------------------------------------------
-# statstoryimpact: per document, repost/domain counts (:160-217)
-# J6 left outer join, G9 max-time semantics
-# ---------------------------------------------------------------------------
-STATSTORYIMPACT_SQL = """
+# T-1..T-7 TimeMarker rows (bigquery/build_views.sh vwlast7days)
+VWLAST7DAYS_SQL = """
 SELECT
-  d.DocumentHash,
-  d.PublicationDateId,
-  substring(d.Text, 1, 1000)                                  AS TextHead,
-  count(DISTINCT w.WebResourceHash)                           AS cntWRs,
-  count(DISTINCT w.Domain)                                    AS cntDomains,
-  count(DISTINCT CASE WHEN w.ParentWebResourceHash IS NOT NULL
-                      THEN w.WebResourceHash END)             AS cntReplies
-FROM document d
-LEFT JOIN webresource w ON w.DocumentHash = d.DocumentHash
-GROUP BY d.DocumentHash, d.PublicationDateId, substring(d.Text, 1, 1000)
+  cast(date_format(date_sub(LastDate, k), 'yyyyMMdd') AS int) AS DateId,
+  concat('T-', cast(k AS string))                             AS TimeMarker,
+  date_sub(LastDate, k)                                       AS DateAsDate
+FROM (SELECT max(cast(PublicationTime AS date)) AS LastDate FROM webresource)
+LATERAL VIEW explode(sequence(1, 7)) t AS k
 """
 
-# ---------------------------------------------------------------------------
-# statstoryrank: weekly/monthly impact ranks (:426-483) — W3 rank windows,
-# FORMAT_TIMESTAMP week/month buckets, T1 LIMIT cap
-# ---------------------------------------------------------------------------
-STATSTORYRANK_SQL = """
-WITH impact AS (
-  SELECT d.DocumentHash,
-         date_format(d.PublicationTime, 'yyyy_MM')  AS PubMonth,
-         cast(weekofyear(d.PublicationTime) AS int) AS PubWeek,
-         count(DISTINCT w.WebResourceHash)          AS cntWRs,
-         count(DISTINCT w.Domain)                   AS cntDomains
-  FROM document d
-  LEFT JOIN webresource w ON w.DocumentHash = d.DocumentHash
-  GROUP BY 1, 2, 3
-)
-SELECT DocumentHash, PubMonth, PubWeek, cntWRs, cntDomains,
-  rank() OVER (PARTITION BY PubWeek  ORDER BY cntWRs DESC, cntDomains DESC, DocumentHash) AS WeekRank,
-  rank() OVER (PARTITION BY PubMonth ORDER BY cntWRs DESC, cntDomains DESC, DocumentHash) AS MonthRank
-FROM impact
-ORDER BY cntWRs DESC, DocumentHash
-LIMIT 100000
+# default daily-snapshot parameter set: every day in the document range
+# (the reference's fromDate/toDate mode generates exactly this list,
+# StatsCalcPipelineUtils.java:784-823)
+P_ALL_DAYS_SQL = """
+SELECT cast(date_format(d, 'yyyyMMdd') AS int) AS SnapshotDateId
+FROM (SELECT explode(sequence(to_date(min(PublicationTime)),
+                              to_date(max(PublicationTime)),
+                              interval 1 day)) AS d
+      FROM document)
 """
 
-# ---------------------------------------------------------------------------
-# statdomainopinions: per-domain aggregates (:236-409) — G6 HAVING,
-# G7 SUM(CASE)+GREATEST floors, G8 AVG/STDDEV_POP/ROUND, W1 global rank
-# ---------------------------------------------------------------------------
-STATDOMAINOPINIONS_SQL = """
-WITH domstats AS (
-  SELECT w.Domain,
-    count(DISTINCT w.DocumentHash)                         AS cntDocs,
-    count(s.SentimentHash)                                 AS cntOpinions,
-    sum(CASE WHEN s.DominantValence = 1 THEN 1 ELSE 0 END) AS cntPositives,
-    sum(CASE WHEN s.DominantValence = 2 THEN 1 ELSE 0 END) AS cntNegatives,
-    round(avg(s.SentimentTotalScore), 2)                   AS avgScore,
-    round(coalesce(stddev_pop(s.SentimentTotalScore), 0.0), 2) AS stddevScore,
-    min(s.SentimentTotalScore)                             AS minScore,
-    max(s.SentimentTotalScore)                             AS maxScore
-  FROM webresource w
-  JOIN sentiment s ON s.MainWebResourceHash = w.WebResourceHash
-  GROUP BY w.Domain
-  HAVING count(DISTINCT w.DocumentHash) >= 2
-)
-SELECT *,
-  round(cntPositives / greatest(cast(cntNegatives AS double), 0.01), 2) AS posNegRatio,
-  rank() OVER (ORDER BY cntOpinions DESC, Domain)                       AS DomainRank
-FROM domstats
-"""
 
 # ---------------------------------------------------------------------------
-# stattoptopic7d: topics in a trailing 8-day window per snapshot day
-# (:500-546) — J7 range join on date ids, T2 top-20, W4 tie-broken rank
+# stattopic (daily) — single + combi topics (StatsCalcPipelineUtils.java:59-138)
 # ---------------------------------------------------------------------------
-STATTOPTOPIC7D_SQL = """
-WITH days AS (SELECT DISTINCT PublicationDateId AS SnapshotDateId FROM document),
-doc_tags AS (
-  SELECT d.DocumentHash, t.Tag, t.GoodAsTopic
-  FROM document d LATERAL VIEW explode(d.Tags) tt AS t
+def stattopic_sql(p_sql: str = P_ALL_DAYS_SQL) -> str:
+    return f"""
+WITH p AS ({p_sql}),
+SentimentTags AS (
+  SELECT p.SnapshotDateId, s.SentimentHash, t.Tag, t.GoodAsTopic, s.Tags AS Tags
+  FROM p JOIN sentiment s ON s.DocumentDateId = p.SnapshotDateId
+  LATERAL VIEW explode(s.Tags) tt AS t
+  WHERE s.SentimentTotalScore > 0
 ),
-topics AS (
-  SELECT d.PublicationDateId, g.Tag AS Topic, d.DocumentHash, w.Domain
-  FROM document d
-  JOIN doc_tags g ON g.DocumentHash = d.DocumentHash
-  LEFT JOIN webresource w ON w.DocumentHash = d.DocumentHash
-  WHERE g.GoodAsTopic = true
-    AND g.Tag NOT IN (SELECT Topic FROM topic WHERE IsBlocked = 1)
+SentimentTagCombos AS (
+  SELECT st.SnapshotDateId, st.SentimentHash, st.Tag AS Tag1, stt.Tag AS Tag2
+  FROM SentimentTags st LATERAL VIEW explode(st.Tags) x AS stt
+  WHERE st.Tag < stt.Tag
 ),
-windowed AS (
-  SELECT p.SnapshotDateId, tp.Topic,
-         count(DISTINCT tp.DocumentHash) AS cntDocs7d,
-         count(DISTINCT tp.Domain)       AS cntDomains7d
-  FROM days p
-  JOIN topics tp
-    ON tp.PublicationDateId <= p.SnapshotDateId
-   AND tp.PublicationDateId >= cast(date_format(date_sub(to_date(cast(p.SnapshotDateId AS string), 'yyyyMMdd'), 7), 'yyyyMMdd') AS int)
-  GROUP BY p.SnapshotDateId, tp.Topic
+CalcStatSentiments AS (
+  SELECT st.SnapshotDateId, st.Tag, st.GoodAsTopic, d.DocumentHash, s.SentimentHash,
+         wrOrig.WebResourceHash AS OrigWebResourceHash, wrOrig.Domain AS OrigDomain,
+         wrRepost.WebResourceHash AS RepostWebResourceHash,
+         s.DominantValence AS Valence
+  FROM SentimentTags st
+  JOIN sentiment s ON s.SentimentHash = st.SentimentHash AND s.DocumentDateId = st.SnapshotDateId
+  JOIN document d ON d.DocumentHash = s.DocumentHash AND d.PublicationDateId = st.SnapshotDateId
+  JOIN webresource wrOrig ON wrOrig.WebResourceHash = d.MainWebResourceHash
+  JOIN webresource wrRepost ON wrRepost.DocumentHash = d.DocumentHash
+),
+CalcStatTopics AS (
+  SELECT SnapshotDateId, Tag AS Topic, array(Tag) AS Tags, GoodAsTopic, 1 AS TagCount,
+    count(DISTINCT OrigDomain)            AS cntOrigPublishers,
+    count(DISTINCT RepostWebResourceHash) AS cntRepostWRs,
+    count(DISTINCT CASE WHEN Valence = 1 THEN SentimentHash END) AS cntPositives,
+    count(DISTINCT CASE WHEN Valence = 2 THEN SentimentHash END) AS cntNegatives,
+    count(DISTINCT CASE WHEN Valence = 3 THEN SentimentHash END) AS cntAmbiguous,
+    count(DISTINCT CASE WHEN Valence = 5 THEN SentimentHash END) AS cntGeneral,
+    sort_array(collect_set(SentimentHash))       AS SentimentHashes,
+    sort_array(collect_set(OrigWebResourceHash)) AS OrigWebResourceHashes,
+    sort_array(collect_set(RepostWebResourceHash)) AS RepostWebResourceHashes
+  FROM CalcStatSentiments
+  GROUP BY SnapshotDateId, Tag, GoodAsTopic
+),
+CalcStatCombiTopics AS (
+  SELECT stc.SnapshotDateId, concat(stc.Tag1, ' & ', stc.Tag2) AS Topic,
+         array(stc.Tag1, stc.Tag2) AS Tags, true AS GoodAsTopic, 2 AS TagCount,
+    count(DISTINCT wrOrig.Domain)          AS cntOrigPublishers,
+    count(DISTINCT wrRepost.WebResourceHash) AS cntRepostWRs,
+    count(DISTINCT CASE WHEN s.DominantValence = 1 THEN s.SentimentHash END) AS cntPositives,
+    count(DISTINCT CASE WHEN s.DominantValence = 2 THEN s.SentimentHash END) AS cntNegatives,
+    count(DISTINCT CASE WHEN s.DominantValence = 3 THEN s.SentimentHash END) AS cntAmbiguous,
+    count(DISTINCT CASE WHEN s.DominantValence = 5 THEN s.SentimentHash END) AS cntGeneral,
+    sort_array(collect_set(s.SentimentHash))        AS SentimentHashes,
+    sort_array(collect_set(wrOrig.WebResourceHash)) AS OrigWebResourceHashes,
+    sort_array(collect_set(wrRepost.WebResourceHash)) AS RepostWebResourceHashes
+  FROM SentimentTagCombos stc
+  JOIN sentiment s ON s.SentimentHash = stc.SentimentHash AND s.DocumentDateId = stc.SnapshotDateId
+  JOIN document d ON d.DocumentHash = s.DocumentHash AND d.PublicationDateId = stc.SnapshotDateId
+  JOIN webresource wrOrig ON wrOrig.WebResourceHash = d.MainWebResourceHash
+  JOIN webresource wrRepost ON wrRepost.DocumentHash = d.DocumentHash
+  GROUP BY stc.SnapshotDateId, stc.Tag1, stc.Tag2
+),
+CalcStatAllTopics AS (
+  SELECT * FROM CalcStatTopics      WHERE GoodAsTopic = true AND cntRepostWRs > 1
+  UNION ALL
+  SELECT * FROM CalcStatCombiTopics WHERE GoodAsTopic = true AND cntRepostWRs > 1
 )
-SELECT SnapshotDateId, Topic, cntDocs7d, cntDomains7d,
-  rank() OVER (PARTITION BY SnapshotDateId
-               ORDER BY cntDocs7d DESC, cntDomains7d DESC, length(Topic) DESC, Topic) AS TopicRank
-FROM windowed
+SELECT SnapshotDateId, Topic, Tags, TagCount, cntOrigPublishers, cntRepostWRs,
+       cntPositives, cntNegatives, cntAmbiguous, cntGeneral,
+       SentimentHashes, OrigWebResourceHashes, RepostWebResourceHashes
+FROM CalcStatAllTopics
+"""
+
+
+# ---------------------------------------------------------------------------
+# statstoryimpact (daily) — trailing-8-day doc window + wrsocialcount cntFb
+# (:158-216). The day-range predicate is an explode(sequence) equi-join.
+# ---------------------------------------------------------------------------
+def statstoryimpact_sql(p_sql: str = P_ALL_DAYS_SQL) -> str:
+    return f"""
+WITH p AS ({p_sql}),
+s1x AS (
+  SELECT cast(date_format(sd, 'yyyyMMdd') AS int) AS SnapshotDateId,
+         d.DocumentHash, d.DocumentCollectionId, d.CollectionItemId
+  FROM document d
+  LATERAL VIEW explode(sequence(to_date(d.PublicationTime),
+                                date_add(to_date(d.PublicationTime), {IMPACT_WINDOW_DAYS}),
+                                interval 1 day)) t AS sd
+),
+s1 AS (SELECT s1x.* FROM s1x JOIN p ON p.SnapshotDateId = s1x.SnapshotDateId),
+s2 AS (
+  SELECT s1.SnapshotDateId, s1.DocumentHash, s1.DocumentCollectionId, s1.CollectionItemId,
+    count(DISTINCT w.WebResourceHash)   AS cntWRs,
+    count(DISTINCT w.Domain)            AS cntDomains,
+    sort_array(collect_list(w.Domain))  AS Domains,
+    sort_array(collect_list(w.Url))     AS Urls
+  FROM s1 JOIN webresource w
+    ON w.DocumentHash = s1.DocumentHash
+   AND w.PublicationDateId <= s1.SnapshotDateId
+  GROUP BY 1, 2, 3, 4
+),
+s3 AS (
+  SELECT s1.SnapshotDateId, s1.DocumentHash, s1.DocumentCollectionId, s1.CollectionItemId,
+         w.WebResourceHash, max(sc.FbCount) AS cntFb
+  FROM s1
+  JOIN webresource w ON w.DocumentHash = s1.DocumentHash
+  LEFT JOIN wrsocialcount sc
+    ON sc.WebResourceHash = w.WebResourceHash
+   AND cast(date_format(cast(sc.CountTime AS date), 'yyyyMMdd') AS int) <= s1.SnapshotDateId
+  GROUP BY 1, 2, 3, 4, 5
+),
+s4 AS (
+  SELECT SnapshotDateId, DocumentHash, DocumentCollectionId, CollectionItemId,
+         sum(cntFb) AS cntFb
+  FROM s3 GROUP BY 1, 2, 3, 4
+)
+SELECT s2.SnapshotDateId, s2.DocumentHash, s2.DocumentCollectionId, s2.CollectionItemId,
+       s2.cntWRs, s2.cntDomains, s4.cntFb, s2.Domains, s2.Urls
+FROM s2 JOIN s4
+  ON s4.DocumentHash = s2.DocumentHash AND s4.SnapshotDateId = s2.SnapshotDateId
+"""
+
+
+# ---------------------------------------------------------------------------
+# statdomainopinions — per (Topic, Domain) Basic8 profile (:236-408)
+# ---------------------------------------------------------------------------
+def statdomainopinions_sql(min_docs: int = MIN_DOMAIN_DOCS, min_basic8: float = MIN_BASIC8) -> str:
+    week = "concat(cast(year(PublicationTime) AS string), '_', lpad(cast(weekofyear(PublicationTime) AS string), 2, '0'))"
+    st_sums = ",\n    ".join(f"sum({c}) AS {c}" for c in ST_COLUMNS)
+    emo8 = ["StJoy", "StAcceptance", "StFear", "StSurprise", "StSadness", "StDisgust", "StAnger", "StAnticipation"]
+    emo_ratio = ",\n    ".join(f"round({c} / Basic8Score, 2) AS {c}" for c in emo8)
+    emo_stats = ",\n    ".join(
+        f"round(avg({c}), 2) AS MeanSt{c[2:]},\n    round(coalesce(stddev_pop({c}), 0.0), 2) AS StdevSt{c[2:]}"
+        for c in emo8
+    )
+    return f"""
+WITH s1 AS (
+  SELECT wr.Domain, count(DISTINCT DocumentHash) AS cntDocs
+  FROM webresource wr
+  GROUP BY 1 HAVING count(DISTINCT DocumentHash) > {min_docs}
+),
+s1a AS (
+  SELECT Domain, cntDocs, rank() OVER (ORDER BY cntDocs DESC) AS DomainRank
+  FROM s1
+),
+s2 AS (
+  SELECT
+    wr.PublicationTime, wr.Domain, wr.Author,
+    CASE WHEN s1a.DomainRank <= 50  THEN 1 ELSE 0 END AS IsTop50Domain,
+    CASE WHEN s1a.DomainRank <= 500 THEN 1 ELSE 0 END AS IsTop500Domain,
+    transform(filter(s.Tags, tg -> tg.GoodAsTopic = true), tg -> tg.Tag) AS TopicArray,
+    s.SentimentTotalScore, s.DominantValence AS Valence,
+    {ST_LIST}
+  FROM sentiment s
+  JOIN webresource wr ON wr.DocumentHash = s.DocumentHash
+  JOIN s1a ON s1a.Domain = wr.Domain
+),
+s3 AS (
+  SELECT
+    {week} AS PubWeek,
+    Domain, IsTop50Domain, IsTop500Domain, ta AS Topic,
+    sum(CASE WHEN Valence = 1 THEN 1 ELSE 0 END) AS cntPositives,
+    sum(CASE WHEN Valence = 2 THEN 1 ELSE 0 END) AS cntNegatives,
+    sum(CASE WHEN Valence = 3 THEN 1 ELSE 0 END) AS cntAmbiguous,
+    sum(CASE WHEN Valence = 5 THEN 1 ELSE 0 END) AS cntGeneral,
+    count(1) AS cntTotalMentions,
+    {st_sums},
+    greatest(cast(sum(StJoy + StAcceptance + StFear + StSurprise + StSadness + StDisgust + StAnger + StAnticipation) AS double), 0.01) AS Basic8Score,
+    greatest(cast(sum(StJoy + StAcceptance + StSurprise + StAnticipation) AS double), 0.01) AS Positive4Score,
+    greatest(cast(sum(StFear + StSadness + StDisgust + StAnger) AS double), 0.01)           AS Negative4Score
+  FROM s2 LATERAL VIEW explode(s2.TopicArray) tt AS ta
+  WHERE ta NOT IN (SELECT tp.Topic FROM topic tp WHERE tp.IsBlocked = 1)
+  GROUP BY 1, 2, 3, 4, 5
+),
+s4 AS (
+  SELECT Domain, Topic, sum(cntTotalMentions) AS cntTotalMentions
+  FROM s3 GROUP BY 1, 2
+),
+s5 AS (
+  SELECT Domain, Topic, cntTotalMentions,
+    rank() OVER (PARTITION BY Domain ORDER BY cntTotalMentions DESC, length(Topic) DESC, Topic) AS DomainTopicRank
+  FROM s4
+),
+s6 AS (
+  SELECT
+    s3.PubWeek, s3.Domain, s3.IsTop50Domain, s3.IsTop500Domain, s3.Topic,
+    s5.DomainTopicRank,
+    CASE WHEN s5.DomainTopicRank <= 20  THEN 1 ELSE 0 END AS IsTop20DomainTopic,
+    CASE WHEN s5.DomainTopicRank <= 100 THEN 1 ELSE 0 END AS IsTop100DomainTopic,
+    s3.cntPositives, s3.cntNegatives, s3.cntAmbiguous, s3.cntGeneral,
+    s3.cntTotalMentions, s3.Basic8Score,
+    cast(s3.cntPositives - s3.cntNegatives AS double) / greatest(cast(s3.cntTotalMentions AS double), 1.0) AS SentimentRatio,
+    round((s3.Positive4Score - s3.Negative4Score) / s3.Basic8Score, 2) AS Basic8Ratio,
+    {emo_ratio}
+  FROM s3 JOIN s5 ON s5.Domain = s3.Domain AND s5.Topic = s3.Topic
+),
+s7 AS (
+  SELECT
+    Topic, Domain,
+    max(IsTop50Domain)  AS IsTop50Domain,
+    max(IsTop500Domain) AS IsTop500Domain,
+    min(DomainTopicRank) AS DomainTopicRank,
+    max(IsTop20DomainTopic)  AS IsTop20DomainTopic,
+    max(IsTop100DomainTopic) AS IsTop100DomainTopic,
+    sum(cntTotalMentions) AS cntTotalMentions,
+    round(sum(Basic8Score), 2) AS Basic8Score,
+    round(avg(Basic8Ratio), 2) AS MeanBasic8Ratio,
+    round(coalesce(stddev_pop(Basic8Ratio), 0.0), 2) AS StdevBasic8Ratio,
+    {emo_stats},
+    round(avg(SentimentRatio), 2) AS MeanSentimentRatio,
+    round(coalesce(stddev_pop(SentimentRatio), 0.0), 2) AS StdevSentimentRatio
+  FROM s6 GROUP BY 1, 2
+)
+SELECT * FROM s7 WHERE Basic8Score >= {min_basic8}
+"""
+
+
+# ---------------------------------------------------------------------------
+# statstoryrank — latest-snapshot impact + cntFb ranks (:426-482)
+# ---------------------------------------------------------------------------
+def statstoryrank_sql(lookback_days: int = STORYRANK_LOOKBACK) -> str:
+    week = "concat(cast(year(d.PublicationTime) AS string), '_', lpad(cast(weekofyear(d.PublicationTime) AS string), 2, '0'))"
+    return f"""
+WITH s1 AS (
+  SELECT d.PublicationDateId, d.DocumentHash,
+         date_format(d.PublicationTime, 'yyyy_MM') AS PubMonth,
+         {week} AS PubWeek,
+         substring(wrOrig.Title, 1, 1000) AS Title,
+         wrOrig.Url, wrOrig.Domain, wrOrig.Author
+  FROM document d
+  JOIN webresource wrOrig ON wrOrig.WebResourceHash = d.MainWebResourceHash
+  WHERE cast(d.PublicationTime AS date) >=
+        date_sub((SELECT v.DateAsDate FROM vwlast7days v WHERE v.TimeMarker = 'T-1'), {lookback_days})
+),
+s2 AS (
+  SELECT s1.DocumentHash, max(impact.SnapshotDateId) AS LatestStatsDateId
+  FROM s1 JOIN statstoryimpact impact ON impact.DocumentHash = s1.DocumentHash
+  GROUP BY s1.DocumentHash
+  ORDER BY max(impact.cntFb + impact.cntWRs) DESC, s1.DocumentHash
+  LIMIT {TOP_STORY_LIMIT}
+),
+s3 AS (
+  SELECT s1.DocumentHash, s1.PublicationDateId, s1.PubMonth, s1.PubWeek,
+         s1.Title, s1.Url, s1.Domain, s1.Author,
+    rank() OVER (PARTITION BY s1.PubWeek  ORDER BY impact.cntFb DESC NULLS LAST, impact.cntWRs DESC) AS rankWeekly,
+    rank() OVER (PARTITION BY s1.PubMonth ORDER BY impact.cntFb DESC NULLS LAST, impact.cntWRs DESC) AS rankMonthly,
+    impact.cntWRs, impact.cntDomains, impact.cntFb,
+    array_join(impact.Domains, ',') AS Domains,
+    array_join(impact.Urls, ',')    AS Urls
+  FROM s1
+  JOIN s2 ON s2.DocumentHash = s1.DocumentHash
+  JOIN statstoryimpact impact
+    ON impact.DocumentHash = s2.DocumentHash AND impact.SnapshotDateId = s2.LatestStatsDateId
+)
+SELECT * FROM s3
+"""
+
+
+# ---------------------------------------------------------------------------
+# stattoptopic7d — dominance logic over stattopic x vwlast7days (:500-545)
+# ---------------------------------------------------------------------------
+STATTOPTOPIC7D_SQL = f"""
+WITH toptopics1 AS (
+  SELECT st.SnapshotDateId, st.Topic, st.Tags, st.TagCount,
+         st.cntOrigPublishers, st.cntRepostWRs,
+         st.cntPositives, st.cntNegatives, st.cntAmbiguous, st.cntGeneral,
+         st.OrigWebResourceHashes, st.RepostWebResourceHashes,
+         cast(st.cntPositives - st.cntNegatives AS double)
+           / greatest(cast(st.cntPositives + st.cntNegatives + st.cntAmbiguous + st.cntGeneral AS double), 1.0) AS SentimentRatio,
+         rank() OVER (PARTITION BY st.SnapshotDateId
+                      ORDER BY st.cntOrigPublishers DESC, st.cntRepostWRs DESC, st.TagCount DESC, st.Topic) AS rankPubdomains,
+         last7days.TimeMarker
+  FROM stattopic st
+  JOIN vwlast7days last7days ON st.SnapshotDateId = last7days.DateId
+  WHERE st.Topic NOT IN (SELECT tp.Topic FROM topic tp WHERE tp.IsBlocked = 1)
+),
+toptopics2 AS (
+  SELECT toptopics1.*, CASE WHEN rankPubdomains <= 20 THEN 1 ELSE 0 END AS IsTop20Topic
+  FROM toptopics1 WHERE rankPubdomains < {RANK_CUTOFF}
+),
+toptopics7d AS (
+  SELECT Topic,
+    min(CASE WHEN IsTop20Topic = 1 THEN TimeMarker END) AS LatestTimeMarker,
+    sum(IsTop20Topic) AS NumInTop20,
+    round(avg(1 / ln(rankPubdomains + 1)), 9) AS AvgTopicDominance,
+    round(sum(IsTop20Topic) * round(avg(1 / ln(rankPubdomains + 1)), 9), 9) AS CycleTopicDominance
+  FROM toptopics2 GROUP BY Topic
+),
+toptopics7dtop20 AS (
+  SELECT * FROM toptopics7d ORDER BY CycleTopicDominance DESC, Topic LIMIT 20
+),
+toptopics3 AS (
+  SELECT t2.*, CASE WHEN t20.Topic IS NOT NULL THEN 1 ELSE 0 END AS IsDominantTopic7d
+  FROM toptopics2 t2
+  LEFT JOIN toptopics7dtop20 t20 ON t2.Topic = t20.Topic
+)
+SELECT SnapshotDateId, Topic, Tags, TagCount, cntOrigPublishers, cntRepostWRs,
+       cntPositives, cntNegatives, cntAmbiguous, cntGeneral,
+       OrigWebResourceHashes, RepostWebResourceHashes,
+       SentimentRatio, rankPubdomains, TimeMarker, IsTop20Topic, IsDominantTopic7d
+FROM toptopics3 t
+WHERE t.rankPubdomains < 100 OR t.IsTop20Topic = 1 OR t.IsDominantTopic7d = 1
 """
 
 # ---------------------------------------------------------------------------
-# stattopstory7d (:564-593) — W5 rank, T3 rank-filter top-k
+# stattopstory7d — rankSocial (cntFb) over top-20-topic origin WRs (:554-592)
 # ---------------------------------------------------------------------------
 STATTOPSTORY7D_SQL = """
-WITH days AS (SELECT DISTINCT PublicationDateId AS SnapshotDateId FROM document),
-stories AS (
-  SELECT p.SnapshotDateId, d.DocumentHash,
-         count(DISTINCT w.WebResourceHash) AS cntWRs,
-         count(DISTINCT w.Domain)          AS cntDomains
-  FROM days p
-  JOIN document d
-    ON d.PublicationDateId <= p.SnapshotDateId
-   AND d.PublicationDateId >= cast(date_format(date_sub(to_date(cast(p.SnapshotDateId AS string), 'yyyyMMdd'), 7), 'yyyyMMdd') AS int)
-  LEFT JOIN webresource w ON w.DocumentHash = d.DocumentHash
-  GROUP BY p.SnapshotDateId, d.DocumentHash
+WITH s1 AS (
+  SELECT t.SnapshotDateId, origs AS WebResourceHash,
+         sort_array(collect_set(tag_item)) AS Tags
+  FROM stattoptopic7d t
+  LATERAL VIEW explode(t.OrigWebResourceHashes) o AS origs
+  LATERAL VIEW explode(t.Tags) g AS tag_item
+  WHERE t.IsTop20Topic = 1
+  GROUP BY 1, 2
 ),
-ranked AS (
-  SELECT *, rank() OVER (PARTITION BY SnapshotDateId
-                         ORDER BY cntWRs DESC, cntDomains DESC, DocumentHash) AS StoryRank
-  FROM stories
+s2 AS (
+  SELECT s1.SnapshotDateId, s1.WebResourceHash, s1.Tags,
+         si.Title, si.Url, si.cntDomains, si.cntFb,
+    rank() OVER (PARTITION BY s1.SnapshotDateId
+                 ORDER BY si.cntFb DESC NULLS LAST, si.cntDomains DESC) AS rankSocial
+  FROM s1
+  JOIN webresource wr ON wr.WebResourceHash = s1.WebResourceHash
+  JOIN statstoryrank si ON si.DocumentHash = wr.DocumentHash
+),
+s3 AS (
+  SELECT SnapshotDateId, WebResourceHash, substring(Title, 1, 1000) AS Title, Url,
+         cntDomains, cntFb, rankSocial,
+         CASE WHEN rankSocial <= 10 THEN 1 ELSE 0 END AS IsTop10Story,
+         array_join(sort_array(collect_set(tag_item)), ',') AS Tags
+  FROM s2 LATERAL VIEW explode(s2.Tags) g AS tag_item
+  GROUP BY 1, 2, 3, 4, 5, 6, 7, 8
 )
-SELECT * FROM ranked WHERE StoryRank <= 20
+SELECT * FROM s3
 """
 
 # ---------------------------------------------------------------------------
-# stattoptopic7dsentiment (:611-640) — U4 union of single + combi topics
+# stattoptopic7dsentiment — sentiment rows of top topics (:601-639)
 # ---------------------------------------------------------------------------
-STATTOPTOPIC7DSENTIMENT_SQL = """
-WITH good_tags AS (
-  SELECT d.DocumentHash, t.Tag
-  FROM document d LATERAL VIEW explode(d.Tags) tt AS t
-  WHERE t.GoodAsTopic = true
-),
-singles AS (
-  SELECT d.PublicationDateId AS SnapshotDateId, t.Tag AS Topic,
-         s.DominantValence,
-         count(DISTINCT s.SentimentHash) AS cntSentiments
-  FROM document d
-  JOIN good_tags t ON t.DocumentHash = d.DocumentHash
-  JOIN sentiment s ON s.DocumentHash = d.DocumentHash
-  GROUP BY 1, 2, 3
-),
-pairs AS (
-  SELECT d.PublicationDateId AS SnapshotDateId,
-         concat(t1.Tag, '&', t2.Tag) AS Topic,
-         s.DominantValence,
-         count(DISTINCT s.SentimentHash) AS cntSentiments
-  FROM document d
-  JOIN good_tags t1 ON t1.DocumentHash = d.DocumentHash
-  JOIN good_tags t2 ON t2.DocumentHash = d.DocumentHash
-  JOIN sentiment s ON s.DocumentHash = d.DocumentHash
-  WHERE t1.Tag < t2.Tag
-  GROUP BY 1, 2, 3
-)
-SELECT * FROM singles
-UNION ALL
-SELECT * FROM pairs
+STATTOPTOPIC7DSENTIMENT_SQL = f"""
+SELECT
+  e.SnapshotDateId, e.TimeMarker, e.Topic, s.SentimentTotalScore,
+  CASE s.DominantValence WHEN 1 THEN 'Positive' WHEN 2 THEN 'Negative'
+       WHEN 3 THEN 'Ambiguous' WHEN 5 THEN 'General' ELSE 'Unknown' END AS DominantValence,
+  s.Text, s.AnnotatedText, s.AnnotatedHtml,
+  {", ".join("s." + c for c in ST_COLUMNS)},
+  substring(wr.Title, 1, 1000) AS Title, wr.Url, wr.Domain, wr.Author,
+  e.IsTop20Topic, e.IsDominantTopic7d
+FROM (
+  SELECT t.SnapshotDateId, t.TimeMarker, t.Topic, t.IsTop20Topic, t.IsDominantTopic7d, sh
+  FROM stattoptopic7d t
+  JOIN stattopic st ON st.SnapshotDateId = t.SnapshotDateId AND st.Topic = t.Topic
+  LATERAL VIEW explode(st.SentimentHashes) x AS sh
+) e
+JOIN sentiment s ON s.SentimentHash = e.sh
+JOIN webresource wr ON wr.WebResourceHash = s.MainWebResourceHash
 """
 
-STATS_QUERIES: dict[str, str] = {
-    "stattopic": STATTOPIC_SQL,
-    "statstoryimpact": STATSTORYIMPACT_SQL,
-    "statstoryrank": STATSTORYRANK_SQL,
-    "statdomainopinions": STATDOMAINOPINIONS_SQL,
-    "stattoptopic7d": STATTOPTOPIC7D_SQL,
-    "stattopstory7d": STATTOPSTORY7D_SQL,
-    "stattoptopic7dsentiment": STATTOPTOPIC7DSENTIMENT_SQL,
-}
-
-# dependency order mirrors StatsCalcPipeline.java:73-83's comment tree
+# table name -> SQL builder (chained names must already be registered as views)
 STATS_ORDER = [
+    "wrsocialcount",
+    "vwlast7days",
     "stattopic",
     "statstoryimpact",
     "statdomainopinions",
@@ -258,8 +517,98 @@ STATS_ORDER = [
     "stattoptopic7dsentiment",
 ]
 
+# which tables downstream tables read (persist these when materializing)
+_REUSED = {"wrsocialcount", "vwlast7days", "stattopic", "statstoryimpact", "statstoryrank", "stattoptopic7d"}
 
-def run_stats(spark: SparkSession) -> dict[str, DataFrame]:
-    """Execute all stat queries in dependency order (views must be
-    registered). Catalyst plans each; AQE handles the skewed topic keys."""
-    return {name: spark.sql(STATS_QUERIES[name]) for name in STATS_ORDER}
+
+def stats_sql(name: str, domainopinions_min_docs: int = MIN_DOMAIN_DOCS,
+              domainopinions_min_basic8: float = MIN_BASIC8) -> str:
+    if name == "wrsocialcount":
+        return WRSOCIALCOUNT_SQL
+    if name == "vwlast7days":
+        return VWLAST7DAYS_SQL
+    if name == "stattopic":
+        return stattopic_sql()
+    if name == "statstoryimpact":
+        return statstoryimpact_sql()
+    if name == "statdomainopinions":
+        return statdomainopinions_sql(domainopinions_min_docs, domainopinions_min_basic8)
+    if name == "statstoryrank":
+        return statstoryrank_sql()
+    if name == "stattoptopic7d":
+        return STATTOPTOPIC7D_SQL
+    if name == "stattopstory7d":
+        return STATTOPSTORY7D_SQL
+    if name == "stattoptopic7dsentiment":
+        return STATTOPTOPIC7DSENTIMENT_SQL
+    raise KeyError(name)
+
+
+# gate projections over the materialized views — arrays stringified
+# (both sides build them pre-sorted), column names identical to the
+# DuckDB mirrors in oracles_stats.GATE_SELECTS
+GATE_SELECTS_SPARK: dict[str, str] = {
+    "wrsocialcount_derived": """
+SELECT WebResourceHash, WrPublicationDateId, CountTime,
+       DocumentCollectionId, CollectionItemId, FbCount, TwCount
+FROM wrsocialcount
+""",
+    "stattopic": """
+SELECT SnapshotDateId, Topic, array_join(Tags, ',') AS TagsStr, TagCount,
+       cntOrigPublishers, cntRepostWRs, cntPositives, cntNegatives, cntAmbiguous, cntGeneral,
+       array_join(SentimentHashes, ',')       AS SentimentHashesStr,
+       array_join(OrigWebResourceHashes, ',') AS OrigWebResourceHashesStr,
+       array_join(RepostWebResourceHashes, ',') AS RepostWebResourceHashesStr
+FROM stattopic
+""",
+    "statstoryimpact": """
+SELECT SnapshotDateId, DocumentHash, DocumentCollectionId, CollectionItemId,
+       cntWRs, cntDomains, cntFb,
+       array_join(Domains, ',') AS DomainsStr,
+       array_join(Urls, ',')    AS UrlsStr
+FROM statstoryimpact
+""",
+    "statdomainopinions": "SELECT * FROM statdomainopinions",
+    "statstoryrank": "SELECT * FROM statstoryrank",
+    "stattoptopic7d": """
+SELECT SnapshotDateId, Topic, array_join(Tags, ',') AS TagsStr, TagCount,
+       cntOrigPublishers, cntRepostWRs, cntPositives, cntNegatives, cntAmbiguous, cntGeneral,
+       array_join(OrigWebResourceHashes, ',')   AS OrigWebResourceHashesStr,
+       array_join(RepostWebResourceHashes, ',') AS RepostWebResourceHashesStr,
+       SentimentRatio, rankPubdomains, TimeMarker, IsTop20Topic, IsDominantTopic7d
+FROM stattoptopic7d
+""",
+    "stattopstory7d": "SELECT * FROM stattopstory7d",
+    "stattoptopic7dsentiment": "SELECT * FROM stattoptopic7dsentiment",
+}
+
+
+def build_stats(
+    spark: SparkSession,
+    persist: bool = True,
+    domainopinions_min_docs: int = MIN_DOMAIN_DOCS,
+    domainopinions_min_basic8: float = MIN_BASIC8,
+    checkpoint_facts: bool = True,
+) -> dict[str, DataFrame]:
+    """Materialize the whole chain in dependency order
+    (StatsCalcPipeline.java:73-83's hardcoded table order).
+
+    Each table is EAGERLY materialized (localCheckpoint) and registered
+    as a view, exactly like the reference writing each stats table to
+    BigQuery before the next reads it. Without the checkpoint the chained
+    views re-expand their predecessors' logical plans multiplicatively
+    (stattopstory7d would inline the whole indexer DAG dozens of times)
+    and Catalyst analysis time explodes; with it every stats query reads
+    leaf relations. The fact views are checkpointed once for the same
+    reason."""
+    if checkpoint_facts:
+        for fact in ("document", "sentiment", "webresource"):
+            spark.table(fact).localCheckpoint(eager=True).createOrReplaceTempView(fact)
+    out: dict[str, DataFrame] = {}
+    for name in STATS_ORDER:
+        df = spark.sql(stats_sql(name, domainopinions_min_docs, domainopinions_min_basic8))
+        if persist:
+            df = df.localCheckpoint(eager=True)
+        df.createOrReplaceTempView(name)
+        out[name] = df
+    return out

@@ -1,0 +1,141 @@
+"""Stats-layer chain tests: table dependency order, reference shapes,
+and the incremental per-day DELETE+INSERT equivalence
+(StatsCalcPipelineUtils.java:759-833)."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def stats_tables(spark):
+    from dataflow_opinion_analysis_spark.plans import stats
+    from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+    from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
+
+    t = derive_transcripts(spark, SF_DIR)
+    out = build_indexer(t, persist=True)
+    stats.register_views(spark, out.document, out.sentiment, out.webresource)
+    return stats.build_stats(
+        spark,
+        persist=True,
+        domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
+        domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+    )
+
+
+def test_vwlast7days_shape(stats_tables):
+    rows = stats_tables["vwlast7days"].collect()
+    assert len(rows) == 7
+    markers = sorted(r.TimeMarker for r in rows)
+    assert markers == [f"T-{k}" for k in range(1, 8)]
+    by_marker = {r.TimeMarker: r.DateId for r in rows}
+    assert by_marker["T-1"] > by_marker["T-7"]
+
+
+def test_stattopic_has_single_and_combi_topics(stats_tables):
+    st = stats_tables["stattopic"]
+    tagcounts = {r.TagCount for r in st.select("TagCount").distinct().collect()}
+    assert tagcounts == {1, 2}, "needs both single topics and 'a & b' combi topics"
+    combi = st.filter(F.col("TagCount") == 2).first()
+    assert " & " in combi.Topic and len(combi.Tags) == 2
+    # reference filter: only topics reposted by >1 web resource survive
+    assert st.filter(F.col("cntRepostWRs") <= 1).count() == 0
+
+
+def test_statstoryimpact_window_and_social(stats_tables):
+    imp = stats_tables["statstoryimpact"]
+    # every doc appears in at most IMPACT_WINDOW_DAYS+1 snapshots
+    from dataflow_opinion_analysis_spark.plans.stats import IMPACT_WINDOW_DAYS
+
+    per_doc = imp.groupBy("DocumentHash").count().agg(F.max("count")).first()[0]
+    assert per_doc <= IMPACT_WINDOW_DAYS + 1
+    # cntFb is NULL on a doc's first snapshot day (counts start at +1 day)
+    # and grows monotonically with the snapshot day afterwards
+    w = imp.filter(F.col("cntFb").isNotNull()).groupBy("DocumentHash").agg(
+        F.min("cntFb").alias("lo"), F.max("cntFb").alias("hi")
+    )
+    assert w.filter(F.col("hi") < F.col("lo")).count() == 0
+    assert imp.filter(F.col("cntFb").isNotNull()).count() > 0
+
+
+def test_chain_consumes_predecessors(stats_tables):
+    """stattopstory7d's WRs must come from stattoptopic7d's top-20 topics'
+    OrigWebResourceHashes, and its cntFb from statstoryrank."""
+    top = stats_tables["stattoptopic7d"]
+    story = stats_tables["stattopstory7d"]
+    assert story.count() > 0
+    orig = top.filter(F.col("IsTop20Topic") == 1).select(
+        F.explode("OrigWebResourceHashes").alias("WebResourceHash")
+    ).distinct()
+    stray = story.join(orig, "WebResourceHash", "left_anti")
+    assert stray.count() == 0
+    # rankSocial orders by cntFb desc within a snapshot day
+    day = story.groupBy("SnapshotDateId").count().orderBy(F.desc("count")).first()[0]
+    rows = story.filter(F.col("SnapshotDateId") == day).orderBy("rankSocial").collect()
+    fbs = [r.cntFb for r in rows if r.cntFb is not None]
+    assert fbs == sorted(fbs, reverse=True)
+
+
+def test_statdomainopinions_shape(stats_tables):
+    dom = stats_tables["statdomainopinions"]
+    cols = set(dom.columns)
+    for c in ["Topic", "Domain", "IsTop50Domain", "DomainTopicRank",
+              "IsTop20DomainTopic", "cntTotalMentions", "Basic8Score",
+              "MeanBasic8Ratio", "StdevBasic8Ratio", "MeanStJoy", "StdevStJoy",
+              "MeanStAnger", "StdevStAnger", "MeanSentimentRatio"]:
+        assert c in cols, f"missing reference column {c}"
+    assert dom.count() > 0
+    # DomainTopicRank is per-Domain: every domain has a rank-1 topic
+    n_domains = dom.select("Domain").distinct().count()
+    n_rank1 = dom.filter(F.col("DomainTopicRank") == 1).select("Domain").distinct().count()
+    assert n_rank1 == n_domains
+
+
+def test_incremental_daily_equals_full(spark, stats_tables, tmp_path):
+    """Per-day DELETE+INSERT runs reproduce the full-range table exactly
+    (the reference's TimeMarker mode vs fromDate/toDate backfill)."""
+    from dataflow_opinion_analysis_spark.plans.stats_incremental import DailyStatsStore
+
+    for name in ("stattopic", "statstoryimpact"):
+        full = stats_tables[name]
+        days = [r.SnapshotDateId for r in full.select("SnapshotDateId").distinct().collect()]
+        store = DailyStatsStore(spark, str(tmp_path), name)
+        # two waves + an overlapping repeat: the repeat must overwrite,
+        # not duplicate (DELETE+INSERT idempotence)
+        mid = len(days) // 2
+        store.run_for_days(days[:mid])
+        store.run_for_days(days[mid:])
+        store.run_for_days(days[:2])
+        inc = store.read()
+        assert inc.count() == full.count()
+
+        # compare full contents (arrays stringified), order-insensitive
+        def flat(df):
+            cols = []
+            for fname in sorted(df.columns):  # parquet read-back reorders
+                if df.schema[fname].dataType.typeName() == "array":
+                    cols.append(F.array_join(F.col(fname), ",").alias(fname))
+                else:
+                    cols.append(F.col(fname))
+            return df.select(cols)
+
+        a = {tuple(r) for r in flat(full).collect()}
+        b = {tuple(r) for r in flat(inc).collect()}
+        assert a == b, f"{name}: incremental != full ({len(a ^ b)} differing rows)"
+
+
+def test_incremental_timemarker_mode(spark, stats_tables, tmp_path):
+    """markers=['T-1'] recomputes exactly the latest day's partition."""
+    from dataflow_opinion_analysis_spark.plans.stats_incremental import DailyStatsStore
+
+    vw = {r.TimeMarker: r.DateId for r in stats_tables["vwlast7days"].collect()}
+    full = stats_tables["stattopic"]
+    store = DailyStatsStore(spark, str(tmp_path), "stattopic")
+    store.run_for_markers(["T-1"])
+    inc = store.read()
+    assert {r.SnapshotDateId for r in inc.select("SnapshotDateId").distinct().collect()} <= {vw["T-1"]}
+    assert inc.count() == full.filter(F.col("SnapshotDateId") == vw["T-1"]).count()
