@@ -9,7 +9,7 @@ Two parts:
    deterministic generated transcripts table (~500k turns), reported as
    `indexer_turns_per_sec` (also folded into `queries` as seconds).
 
-Scaling-efficiency evidence (local[8] vs local[32]) is produced by
+Scaling-efficiency evidence (paired local[N] vs local[4N]) is produced by
 `scripts/bench_scaling.py` -> BENCH/BASELINE.md.
 """
 

@@ -19,7 +19,24 @@ from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
 from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
 
 
-_OUTPUTS_CACHE: dict[tuple[int, str], object] = {}
+_OUTPUTS_CACHE: dict[tuple, object] = {}
+
+
+def clear_cache() -> None:
+    """Release cached/checkpointed pipeline outputs (long-lived sessions:
+    call between sf_dirs; the driver's one-shot runs never need to)."""
+    from dataflow_opinion_analysis_spark.plans.indexer import IndexerOutputs
+
+    for v in _OUTPUTS_CACHE.values():
+        try:
+            if isinstance(v, IndexerOutputs):
+                v.winners.unpersist()
+            elif isinstance(v, dict):
+                for df in v.values():
+                    df.unpersist()
+        except Exception:
+            pass
+    _OUTPUTS_CACHE.clear()
 
 
 def _outputs(spark: SparkSession, sf_dir: str):

@@ -21,6 +21,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from dataflow_opinion_analysis_spark.operators import hints
+
 
 def exact_dedupe(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
     """D1: one winner per content_hash; losers keep a pointer to the
@@ -162,9 +164,16 @@ def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
 
     # per-doc count of group-frequent tags
     # (min_occ = max(round-half-up(grp_n/2), 2) — IndexerPipeline.java:942)
+    # freq / grp_n / winners_per_group are per-group-sized side inputs.
+    # Broadcast them EXPLICITLY: these joins key on the skewed soft key
+    # ('No Title' holds most of the corpus), and when AQE happens to pick
+    # a sort-merge strategy instead, the hot key collapses into one giant
+    # serial partition — observed as bimodal 75s-vs-200s runs. Pinning the
+    # broadcast removes the skewed shuffle entirely (the reference passes
+    # these as Beam side inputs for the same reason).
     hits = (
-        tags.join(freq, [*key, "tag"])
-        .join(grp_n, key)
+        tags.join(F.broadcast(freq), [*key, "tag"])
+        .join(F.broadcast(grp_n), key)
         .filter(
             F.col("occ") >= F.greatest(F.round(F.col("grp_n") / 2.0), F.lit(2))
         )
@@ -172,7 +181,7 @@ def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
         .agg(F.count("*").alias("n_freq"))
     )
 
-    base = keyed.join(grp_n, key).select(
+    base = keyed.join(F.broadcast(grp_n), key).select(
         "document_hash",
         *key,
         "conv_id",
@@ -181,7 +190,10 @@ def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
         "grp_n",
         F.size(F.coalesce("tag_names", F.array())).alias("n_tags"),
     )
-    dm = base.join(hits, "document_hash", "left").withColumn(
+    # hits is document-count-sized in tag-overlapping corpora — joinable
+    # strategy governed by operators/hints.py (freq/grp_n/winners_per_group
+    # above are per-group / repeated-tag sized, genuinely small)
+    dm = base.join(hits.transform(hints.big), "document_hash", "left").withColumn(
         "n_freq", F.coalesce("n_freq", F.lit(0))
     ).withColumn(
         "is_match",
@@ -209,7 +221,7 @@ def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
     )
 
     # one row per group: far smaller than dm, Catalyst auto-broadcasts
-    ranked = dm.join(winners_per_group, key, "left")
+    ranked = dm.join(F.broadcast(winners_per_group), key, "left")
     is_dupe = (
         F.col("is_match")
         & (F.coalesce(F.col("n_match"), F.lit(0)) >= 2)

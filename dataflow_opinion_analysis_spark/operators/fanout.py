@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataflow_opinion_analysis_spark import hashes, schemas
+from dataflow_opinion_analysis_spark.operators import hints
 
 
 def webresource_rows(input_content: DataFrame, document_hash_col: str = "expected_document_hash") -> DataFrame:
@@ -71,20 +72,32 @@ def document_rows(winners_with_tags: DataFrame) -> DataFrame:
 
 def sentiment_rows(passages: DataFrame, winners: DataFrame, tags: DataFrame | None = None) -> DataFrame:
     """Join scored passages back to their document keys
-    (IndexerPipeline.java:1398-1450 builds these same fields)."""
-    doc_side = winners.select(
+    (IndexerPipeline.java:1398-1450 builds these same fields).
+
+    ONE inner join does everything: key columns, the soft-dedupe filter
+    (passages of eliminated docs drop out because they're absent from
+    winners), and — when winners already carries a Tags column (the
+    single tags join in plans/indexer.py) — the tag array, with no second
+    doc-sized join."""
+    doc_cols = [
         F.col("expected_document_hash").alias("document_hash"),
         F.col("pub_time"),
         F.col("pub_date_id"),
         F.col("web_resource_hash"),
         F.col("parent_web_resource_hash"),
-    )
+    ]
+    winners_has_tags = tags is None and "Tags" in winners.columns
+    if winners_has_tags:
+        doc_cols.append(F.col("Tags"))
+    doc_side = winners.select(doc_cols).transform(hints.big)  # strategy via operators/hints.py
     df = passages.join(doc_side, "document_hash", "inner")
     if tags is not None:
         df = df.join(
-            tags.select(F.col("document_hash"), F.col("Tags")), "document_hash", "left"
+            tags.select(F.col("document_hash"), F.col("Tags")).transform(hints.big),
+            "document_hash",
+            "left",
         )
-    else:
+    elif not winners_has_tags:
         df = df.withColumn("Tags", F.lit(None).cast(schemas.SENTIMENT["Tags"].dataType))
     return df.select(
         hashes.sentiment_hash(

@@ -124,6 +124,68 @@ def derive_input_content(
     return df
 
 
+def input_content_from_parsed(
+    parsed: DataFrame, processing_time: str = "2024-02-01 00:00:00"
+) -> DataFrame:
+    """Adapter for the non-transcript connectors (P1 article files, P2 CSV,
+    S6 GDELT JSON, S2 JDBC — sources/files.py): their rows already carry
+    the InputContent business columns (url/pub_time/title/author/language/
+    text/collection ids/skip_indexing[/parent_*]); this adds the surrogate
+    thread keys (each document is its own 1-turn conversation), the hash
+    fields (InputContent.calculateHashFields, model/InputContent.java:163-169)
+    and processing time, yielding the exact shape build_indexer_from_
+    input_content consumes."""
+    df = parsed
+    for col, default in (
+        ("parent_url", F.lit(None).cast("string")),
+        ("parent_pub_time", F.lit(None).cast("timestamp")),
+        ("author", F.lit(None).cast("string")),
+        ("title", F.lit(None).cast("string")),
+        ("language", F.lit(None).cast("string")),
+    ):
+        if col not in df.columns:
+            df = df.withColumn(col, default)
+    return (
+        df.filter(F.length(F.trim(F.coalesce(F.col("text"), F.lit("")))) > 0)
+        .withColumn(
+            "conv_id",
+            F.coalesce(F.col("collection_item_id"), F.col("url"), hashes._h(F.col("text"))),
+        )
+        .withColumn("turn_idx", F.lit(0))
+        # sources without a publication time (e.g. the CSV corpus) fall
+        # back to processing time, like the reference's null-pubTime rows
+        .withColumn(
+            "pub_time",
+            F.coalesce(F.col("pub_time"), F.lit(processing_time).cast("timestamp")),
+        )
+        .withColumn("pub_date_id", hashes.date_id(F.col("pub_time")))
+        .withColumn("meta_fields", F.array().cast("array<string>"))
+        .withColumn("content_hash", hashes._h(F.col("text"), F.col("document_collection_id")))
+        .withColumn(
+            "expected_document_hash",
+            hashes.document_hash(
+                F.col("text"), F.col("document_collection_id"), F.col("collection_item_id")
+            ),
+        )
+        .withColumn(
+            "web_resource_hash",
+            F.when(
+                F.col("pub_time").isNotNull() & F.col("url").isNotNull(),
+                hashes.web_resource_hash(F.col("pub_time"), F.col("url")),
+            ).otherwise(hashes._h(F.col("expected_document_hash"))),
+        )
+        .withColumn(
+            "parent_web_resource_hash",
+            F.when(
+                F.col("parent_url").isNotNull() & F.col("parent_pub_time").isNotNull(),
+                hashes.web_resource_hash(F.col("parent_pub_time"), F.col("parent_url")),
+            ),
+        )
+        .withColumn("processing_time", F.lit(processing_time).cast("timestamp"))
+        .withColumn("processing_date_id", hashes.date_id(F.col("processing_time")))
+    )
+
+
 def split_skip_indexing(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
     """F2: route on skip_indexing (IndexerPipeline.java:1634-1643)."""
     to_index = input_content.filter(F.col("skip_indexing") == 0)

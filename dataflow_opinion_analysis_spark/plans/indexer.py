@@ -10,11 +10,19 @@ identical, only source/sink differ.
 Plan shape (what .explain should show):
   parquet scan (pruned cols) -> codegen projections/hash derivations
   -> single exchange on conv_id (lag window; reused by dedupe sort)
-  -> exchange on content_hash (exact dedupe window)
+  -> exchange on content_hash (exact dedupe window) -> checkpointed winners
   -> Arrow pandas stages (tags, passages)
-  -> exchange on (soft_title, len_bucket) (soft dedupe applyInPandas)
-  -> broadcast joins of the small verdict frame back onto winners
-  -> per-table selects.
+  -> soft-dedupe verdict: hash aggregates over (soft_title, len_bucket)
+     with the per-group side inputs PINNED as broadcasts (the soft key is
+     hot — 'No Title' holds most of the corpus — so a shuffled join there
+     would serialize into one giant partition)
+  -> ONE wide join of winners x verdict (the text-carrying side shuffles
+     at most once), then per-table selects.
+
+Driver-time note: persisted stages are EAGER localCheckpoints (_pin) —
+without lineage truncation, AQE re-optimizes the full deep DAG at every
+stage boundary and instrumentation showed 37% of job wall as driver-idle
+planning gaps.
 """
 
 from __future__ import annotations
@@ -25,7 +33,19 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataflow_opinion_analysis_spark.functions import scorer, tags_sql
-from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
+from dataflow_opinion_analysis_spark.operators import dedupe, fanout, hints, ingest
+
+
+def _pin(df: DataFrame, persist: bool) -> DataFrame:
+    """Eager localCheckpoint where the old code persisted: holds the data
+    like persist() AND truncates the logical plan. Instrumentation showed
+    37% of the job wall was driver-idle time — AQE re-optimizes the plan
+    at every shuffle-stage boundary, and on the deep un-truncated indexer
+    DAG that re-planning (plus broadcast planning) serializes the job
+    between stages. Checkpointed leaves make every downstream plan
+    shallow, the same fix plans/stats.py applies to the chained stats
+    views."""
+    return df.localCheckpoint(eager=True) if persist else df
 
 
 @dataclass
@@ -45,10 +65,22 @@ def build_indexer(
     persist: bool = False,
 ) -> IndexerOutputs:
     ic = ingest.derive_input_content(transcripts, processing_time)
+    return build_indexer_from_input_content(ic, soft_dedupe_enabled, persist)
+
+
+def build_indexer_from_input_content(
+    ic: DataFrame,
+    soft_dedupe_enabled: bool = True,
+    persist: bool = False,
+) -> IndexerOutputs:
+    """The pipeline from the InputContent stage on — shared by the
+    transcripts path (build_indexer) and the file/CSV/JSON/JDBC connectors
+    (sources/files.py + ingest.input_content_from_parsed), mirroring how
+    every reference source funnels into one indexing DAG
+    (IndexerPipeline.java:127-258)."""
     to_index, skipped = ingest.split_skip_indexing(ic)
     winners, exact_dupes = dedupe.exact_dedupe(to_index)
-    if persist:
-        winners = winners.persist()
+    winners = _pin(winners, persist)
 
     doc_keyed = winners.select(
         F.col("expected_document_hash").alias("document_hash"),
@@ -61,8 +93,25 @@ def build_indexer(
     # equivalence). Passages stay an Arrow UDF — the NLP stage proper.
     tags = tags_sql.extract_tags(doc_keyed)
     passages = doc_keyed.mapInPandas(scorer.score_passages_map, scorer.PASSAGE_SCHEMA)
-    if persist:
-        tags = tags.persist()
+
+    # join tags into winners ONCE and carry (Tags, tag_names) through the
+    # rest of the DAG: the verdict input, the document fan-out and the
+    # sentiment fan-out all project from this frame instead of each
+    # re-joining the doc-sized tags relation — 3 fewer doc-sized joins
+    # (= 3 fewer serial driver-side broadcast builds in local mode, 3
+    # fewer shuffles on a cluster)
+    winners = _pin(
+        winners.join(
+            tags.select(
+                F.col("document_hash").alias("expected_document_hash"),
+                "tag_names",
+                "Tags",
+            ).transform(hints.big),
+            "expected_document_hash",
+            "left",
+        ),
+        persist,
+    )
 
     if soft_dedupe_enabled:
         # verdict chain sees only NARROW columns (hash, keys, title,
@@ -74,53 +123,32 @@ def build_indexer(
             "turn_idx",
             "title",
             F.length("text").alias("text_len"),
-        ).join(
-            tags.select(
-                F.col("document_hash").alias("expected_document_hash"), "tag_names"
-            ),
+            "tag_names",
+        )
+        verdict = _pin(dedupe.soft_dedupe(verdict_input), persist)
+        # ONE join of the wide winners frame against the whole verdict,
+        # then filter both ways — a keep/repoint double join-back would
+        # shuffle the wide (text-carrying) winners twice
+        routed = winners.join(
+            verdict.select(
+                F.col("document_hash").alias("expected_document_hash"),
+                "is_dupe",
+                "winner_document_hash",
+            ).transform(hints.big),
             "expected_document_hash",
             "left",
         )
-        verdict = dedupe.soft_dedupe(verdict_input)
-        if persist:
-            verdict = verdict.persist()
-        keep = verdict.filter(~F.col("is_dupe")).select("document_hash")
-        repoint = verdict.filter(F.col("is_dupe")).select(
-            "document_hash", "winner_document_hash"
-        )
-        soft_winners = winners.join(
-            keep.withColumnRenamed("document_hash", "expected_document_hash"),
-            "expected_document_hash",
-            "left_semi",
-        )
-        soft_dupes = winners.join(
-            repoint.withColumnRenamed("document_hash", "expected_document_hash"),
-            "expected_document_hash",
-            "inner",
-        )
-        if persist:
-            soft_winners = soft_winners.persist()
+        soft_winners = routed.filter(
+            ~F.coalesce(F.col("is_dupe"), F.lit(False))
+        ).drop("is_dupe", "winner_document_hash")
+        soft_dupes = routed.filter(F.col("is_dupe")).drop("is_dupe")
+        soft_winners = _pin(soft_winners, persist)
     else:
         soft_winners = winners
         soft_dupes = None
 
-    tags_for_docs = tags.select(
-        F.col("document_hash").alias("expected_document_hash"), "Tags"
-    )
-    document = fanout.document_rows(
-        soft_winners.join(tags_for_docs, "expected_document_hash", "left")
-    )
-    sentiment = fanout.sentiment_rows(
-        passages.join(
-            soft_winners.select(
-                F.col("expected_document_hash").alias("document_hash")
-            ),
-            "document_hash",
-            "left_semi",
-        ),
-        soft_winners,
-        tags,
-    )
+    document = fanout.document_rows(soft_winners)
+    sentiment = fanout.sentiment_rows(passages, soft_winners)
 
     wr_parts = [
         fanout.webresource_rows(soft_winners),

@@ -178,16 +178,20 @@ def process_batch(
             "expected_document_hash", "left",
         )
         verdict = dedupe.soft_dedupe(verdict_input).persist()
-        keep = verdict.filter(~F.col("is_dupe")).select("document_hash")
-        repoint = verdict.filter(F.col("is_dupe")).select("document_hash", "winner_document_hash")
-        soft_winners = winners.join(
-            keep.withColumnRenamed("document_hash", "expected_document_hash"),
-            "expected_document_hash", "left_semi",
-        ).persist()
-        soft_dupes = winners.join(
-            repoint.withColumnRenamed("document_hash", "expected_document_hash"),
-            "expected_document_hash", "inner",
+        # single join of the wide winners against the verdict (same
+        # restructure as plans/indexer.py: never shuffle the text-carrying
+        # side twice)
+        routed2 = winners.join(
+            verdict.select(
+                F.col("document_hash").alias("expected_document_hash"),
+                "is_dupe", "winner_document_hash",
+            ),
+            "expected_document_hash", "left",
         )
+        soft_winners = routed2.filter(
+            ~F.coalesce(F.col("is_dupe"), F.lit(False))
+        ).drop("is_dupe", "winner_document_hash").persist()
+        soft_dupes = routed2.filter(F.col("is_dupe")).drop("is_dupe")
     else:
         soft_winners, soft_dupes = winners, None
 
