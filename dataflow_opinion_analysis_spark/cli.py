@@ -35,7 +35,10 @@ def cmd_index(args) -> int:
 
     spark = _spark(args)
     t = spark.read.parquet(args.input)
-    out = build_indexer(t, persist=True, soft_dedupe_enabled=not args.no_soft_dedupe)
+    out = build_indexer(
+        t, persist=True, soft_dedupe_enabled=not args.no_soft_dedupe,
+        enrich_ratio=args.enrich_ratio,
+    )
     for name, df in [
         ("webresource", out.webresource),
         ("document", out.document),
@@ -64,6 +67,7 @@ def cmd_stream(args) -> int:
         watermark=args.watermark,
         max_files_per_trigger=args.max_files_per_trigger,
         soft_dedupe_enabled=not args.no_soft_dedupe,
+        enrich_ratio=args.enrich_ratio,
     )
     if args.drain:
         q.processAllAvailable()
@@ -113,6 +117,9 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--output", required=True)
     p.add_argument("--mode", default="overwrite")
     p.add_argument("--no-soft-dedupe", action="store_true")
+    # reference batch default is 0.01 (IndexerPipelineUtils.java:395-398);
+    # 0.0 keeps enrichment-free runs reproducible vs the goldens
+    p.add_argument("--enrich-ratio", type=float, default=0.0)
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("stream")
@@ -122,6 +129,8 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--watermark", default="10 minutes")
     p.add_argument("--max-files-per-trigger", type=int, default=None)
     p.add_argument("--no-soft-dedupe", action="store_true")
+    # reference streaming default is 1.0 (IndexerPipelineUtils.java:395-398)
+    p.add_argument("--enrich-ratio", type=float, default=0.0)
     p.add_argument("--drain", action="store_true", help="process available input then exit")
     p.set_defaults(fn=cmd_stream)
 

@@ -146,11 +146,42 @@ def q_indexer_webresource(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ENRICH_GATE_RATIO = 0.3
+
+
+def q_indexer_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N2 wired into the pipeline (build_indexer(enrich_ratio=0.3)): per
+    soft-winner document, the base tag count, the appended cnlp:: tag
+    count and the top entity+salience. Transcript text is
+    deterministically capitalized (same transform both engines) because
+    the fixture corpus is lowercase and the capitalized-phrase model
+    would otherwise never fire."""
+    from dataflow_opinion_analysis_spark.functions import entities
+
+    t = derive_transcripts(spark, sf_dir).withColumn(
+        "text", F.expr(entities._CAP_SPARK)
+    )
+    out = build_indexer(t, persist=True, enrich_ratio=ENRICH_GATE_RATIO)
+    is_cnlp = lambda tag: F.startswith(tag["Tag"], F.lit(entities.CNLP_TAG_PREFIX))  # noqa: E731
+    cnlp = F.filter("Tags", is_cnlp)
+    return out.document.select(
+        "DocumentHash",
+        F.size(F.filter("Tags", lambda t_: ~is_cnlp(t_))).alias("n_base_tags"),
+        F.size(cnlp).alias("n_cnlp_tags"),
+        F.try_element_at(cnlp, F.lit(1))["Tag"].alias("top_cnlp_tag"),
+        F.try_element_at(cnlp, F.lit(1))["Weight"].alias("top_cnlp_weight"),
+    )
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     reg: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
         "indexer_document": (q_indexer_document, oracles.document_sql()),
         "indexer_sentiment": (q_indexer_sentiment, oracles.sentiment_sql()),
         "indexer_webresource": (q_indexer_webresource, oracles.webresource_sql()),
+        "indexer_enriched_tags": (
+            q_indexer_enriched,
+            oracles.enriched_tags_sql(ENRICH_GATE_RATIO),
+        ),
     }
     for name in stats.GATE_SELECTS_SPARK:
         reg[f"stats_{name}"] = (

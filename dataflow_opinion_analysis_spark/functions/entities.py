@@ -56,25 +56,34 @@ def split_ab(df: DataFrame, b_ratio: float, key_col: str) -> tuple[DataFrame, Da
 def extract_entities(doc_keyed: DataFrame, text_col: str = "text") -> DataFrame:
     """(document_hash, text) -> one row per (document_hash, entity,
     salience, rank) — capitalized-phrase entities ranked by salience
-    (frequency share), fully deterministic Catalyst."""
-    doc_keyed.createOrReplaceTempView("_entity_input")
-    return doc_keyed.sparkSession.sql(
-        f"""
-WITH phrases AS (
-  SELECT document_hash, explode(regexp_extract_all({text_col}, '{ENTITY_RE_SQL}', 0)) AS phrase
-  FROM _entity_input
-),
-counts AS (
-  SELECT document_hash, phrase, count(*) AS n
-  FROM phrases GROUP BY document_hash, phrase
-),
-tot AS (SELECT document_hash, sum(n) AS total FROM counts GROUP BY document_hash)
-SELECT c.document_hash, c.phrase AS entity,
-       round(c.n / cast(t.total AS double), 6) AS salience,
-       row_number() OVER (PARTITION BY c.document_hash
-                          ORDER BY c.n / cast(t.total AS double) DESC, c.phrase) AS rank
-FROM counts c JOIN tot t ON t.document_hash = c.document_hash
-"""
+    (frequency share), fully deterministic Catalyst.
+
+    Pure DataFrame API (no temp view): concurrent or nested callers in
+    one SparkSession previously clobbered each other's fixed
+    '_entity_input' view and leaked the name into the catalog."""
+    from pyspark.sql import Window
+
+    counts = (
+        doc_keyed.select(
+            "document_hash",
+            F.explode(
+                F.expr(f"regexp_extract_all({text_col}, '{ENTITY_RE_SQL}', 0)")
+            ).alias("phrase"),
+        )
+        .groupBy("document_hash", "phrase")
+        .agg(F.count("*").alias("n"))
+    )
+    tot = counts.groupBy("document_hash").agg(F.sum("n").alias("total"))
+    sal = F.col("n") / F.col("total").cast("double")
+    w = Window.partitionBy("document_hash").orderBy(sal.desc(), F.col("phrase"))
+    return (
+        counts.join(tot, "document_hash")
+        .select(
+            "document_hash",
+            F.col("phrase").alias("entity"),
+            F.round(sal, 6).alias("salience"),
+            F.row_number().over(w).alias("rank"),
+        )
     )
 
 

@@ -54,35 +54,39 @@ def _tokenize(texts: pd.Series) -> pd.DataFrame:
     return pd.DataFrame({"pos": e.index, "token": e.values})
 
 
-def _split_sentences(pdf: pd.DataFrame) -> pd.DataFrame:
+def _split_sentences(pdf: pd.DataFrame, carry: tuple[str, ...] = ()) -> pd.DataFrame:
     """1 doc row -> N sentence rows with passage_idx (1-based).
 
     passage_idx is the RAW split-array position (numbered BEFORE dropping
     empty/whitespace segments), matching the DuckDB oracle's
     generate_series(1, len(parts)) convention — so SentimentHash agrees
-    across engines even for texts with empty segments ('a.. b')."""
+    across engines even for texts with empty segments ('a.. b').
+
+    ``carry`` columns are replicated onto every passage row — the fused
+    scorer fan-out uses this to carry document key fields through the
+    Arrow stage so no join-back is ever needed."""
     s = pdf["text"].fillna("").str.split(SENTENCE_SPLIT_RE)
     e = s.explode()
     raw_idx = e.groupby(level=0).cumcount().astype("int32") + 1
     e = e.str.strip()
     keep = e.str.len() > 0
     e, raw_idx = e[keep], raw_idx[keep]
-    out = pdf.loc[e.index, ["document_hash", "conv_id", "turn_idx"]].copy()
+    out = pdf.loc[e.index, ["document_hash", "conv_id", "turn_idx", *carry]].copy()
     out["passage_text"] = e.values
     out["passage_idx"] = raw_idx.values
     return out.reset_index(drop=True)
 
 
-def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
+def _score_batch(pdf: pd.DataFrame, carry: tuple[str, ...] = ()) -> pd.DataFrame:
     """Score one Arrow batch of documents -> passage rows with hits."""
-    sent = _split_sentences(pdf)
+    sent = _split_sentences(pdf, carry)
     if sent.empty:
-        return pd.DataFrame(columns=_passage_columns())
+        return pd.DataFrame(columns=_passage_columns() + list(carry))
 
     tok = _tokenize(sent["passage_text"])
     hits = tok.merge(_LEX_DF, on="token", how="inner")
     if hits.empty:
-        return pd.DataFrame(columns=_passage_columns())
+        return pd.DataFrame(columns=_passage_columns() + list(carry))
 
     counts = (
         hits.groupby(["pos", "dim"]).size().unstack(fill_value=0)
@@ -112,7 +116,7 @@ def _score_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out["Signals"] = signals
     # only passages with at least one hit are opinions
     out = out[out["SentimentTotalScore"] > 0]
-    return out[_passage_columns()]
+    return out[_passage_columns() + list(carry)]
 
 
 def _passage_columns() -> list[str]:
@@ -128,14 +132,16 @@ def score_passages_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame
         yield _score_batch(pdf)
 
 
-def _tags_batch(pdf: pd.DataFrame) -> pd.DataFrame:
-    tok = _tokenize(pdf["text"].fillna(""))
+def _tag_lists(texts: pd.Series) -> pd.Series:
+    """Per-row top-K tag tuples (Tag, Weight, GoodAsTopic) for a text
+    Series — all C-level groupby/sort ops, aligned with ``texts.index``."""
+    tok = _tokenize(texts.fillna(""))
     tok = tok[
         (tok["token"].str.len() >= lexicon.TAG_MIN_LEN)
         & ~tok["token"].isin(lexicon.TAG_STOPWORDS)
     ]
     if tok.empty:
-        return pd.DataFrame({"document_hash": pdf["document_hash"], "Tags": [[] for _ in range(len(pdf))]})
+        return pd.Series([[] for _ in range(len(texts))], index=texts.index)
     cnt = tok.groupby(["pos", "token"]).size().reset_index(name="n")
     # top-K by (count desc, token asc) — fully deterministic
     cnt = cnt.sort_values(["pos", "n", "token"], ascending=[True, False, True])
@@ -146,12 +152,79 @@ def _tags_batch(pdf: pd.DataFrame) -> pd.DataFrame:
         zip(cnt["token"], cnt["n"].astype("float64"), ~cnt["token"].isin(blocked))
     )
     tags = cnt.groupby("pos")["tag"].apply(list)
+    mapped = texts.index.map(tags)
+    return pd.Series(
+        [v if isinstance(v, list) else [] for v in mapped], index=texts.index
+    )
+
+
+def _tags_batch(pdf: pd.DataFrame) -> pd.DataFrame:
     out = pd.DataFrame({"document_hash": pdf["document_hash"]})
-    out["Tags"] = out.index.map(tags)
-    out["Tags"] = out["Tags"].apply(lambda v: v if isinstance(v, list) else [])
+    out["Tags"] = _tag_lists(pdf["text"])
     return out
 
 
 def extract_tags_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     for pdf in batches:
         yield _tags_batch(pdf)
+
+
+# ---------------------------------------------------------------------------
+# Fused DataFrame-level stages — the scaling-critical hot path.
+#
+# Both stages are NARROW (no shuffle, no join-back): tags are appended to
+# the full winners frame in one Arrow pass, and the passage fan-out
+# replicates the document key fields onto its output rows so the sentiment
+# table needs no passages-x-winners join. These two joins were the
+# worst-scaling parts of the round-2 plan (a 3-shuffle token pipeline for
+# tags; a wide shuffle join for sentiment).
+# ---------------------------------------------------------------------------
+
+TAGS_FIELD_DDL = "array<struct<Tag:string,Weight:double,GoodAsTopic:boolean>>"
+
+
+def tags_augment(df):
+    """winners frame (must carry ``text``) -> same frame + ``Tags`` +
+    ``tag_names`` columns, computed in one narrow Arrow pass (the fused
+    replacement for extract_tags + join-back)."""
+    from pyspark.sql.types import ArrayType, StringType, StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    out_schema = StructType(
+        list(df.schema.fields)
+        + [
+            StructField("Tags", _parse_datatype_string(TAGS_FIELD_DDL)),
+            StructField("tag_names", ArrayType(StringType())),
+        ]
+    )
+    cols = [f.name for f in df.schema.fields]
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = pdf[cols].copy()
+            tags = _tag_lists(pdf["text"])
+            out["Tags"] = tags
+            out["tag_names"] = tags.apply(lambda v: [t[0] for t in v])
+            yield out
+
+    return df.mapInPandas(fn, out_schema)
+
+
+def score_passages_carry(df, carry: tuple[str, ...]):
+    """(document_hash, conv_id, turn_idx, text, *carry) -> passage rows
+    with the carry columns replicated — the fused scorer fan-out. No
+    downstream join is needed: every document field the sentiment table
+    wants rides through the Arrow stage with its passages."""
+    from pyspark.sql.types import StructField, StructType
+    from pyspark.sql.types import _parse_datatype_string
+
+    base = _parse_datatype_string(PASSAGE_SCHEMA)
+    by_name = {f.name: f for f in df.schema.fields}
+    out_schema = StructType(list(base.fields) + [by_name[c] for c in carry])
+    carry_t = tuple(carry)
+
+    def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            yield _score_batch(pdf, carry_t)
+
+    return df.mapInPandas(fn, out_schema)

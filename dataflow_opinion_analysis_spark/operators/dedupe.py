@@ -24,21 +24,29 @@ from pyspark.sql import functions as F
 from dataflow_opinion_analysis_spark.operators import hints
 
 
-def exact_dedupe(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
-    """D1: one winner per content_hash; losers keep a pointer to the
-    winner's document hash (so their webresource rows re-point).
-
-    Returns (winners, dupes); ``dupes`` carries ``winner_document_hash``.
-    """
+def exact_dedupe_ranked(input_content: DataFrame) -> DataFrame:
+    """D1 core: rank rows within each content_hash group. One shuffle;
+    callers derive winners (``_rn == 1``) and dupes (``_rn > 1``) as
+    filters — build_indexer checkpoints THIS frame once so both branches
+    read one materialization instead of re-running the scan + window."""
     # winner = earliest event time (ties: smallest conv_id, turn_idx).
     # Event-time-first keeps the batch rule consistent with streaming
     # first-seen order (micro-batches arrive in ~event-time order), so the
     # two modes elect the same winner — the batch/stream equivalence test
     # depends on this.
     w = Window.partitionBy("content_hash").orderBy("pub_time", "conv_id", "turn_idx")
-    ranked = input_content.withColumn("_rn", F.row_number().over(w)).withColumn(
+    return input_content.withColumn("_rn", F.row_number().over(w)).withColumn(
         "winner_document_hash", F.first("expected_document_hash").over(w)
     )
+
+
+def exact_dedupe(input_content: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """D1: one winner per content_hash; losers keep a pointer to the
+    winner's document hash (so their webresource rows re-point).
+
+    Returns (winners, dupes); ``dupes`` carries ``winner_document_hash``.
+    """
+    ranked = exact_dedupe_ranked(input_content)
     winners = ranked.filter(F.col("_rn") == 1).drop("_rn", "winner_document_hash")
     dupes = ranked.filter(F.col("_rn") > 1).drop("_rn")
     return winners, dupes
@@ -151,43 +159,49 @@ def soft_dedupe(indexed_with_tags: DataFrame) -> DataFrame:
     tags = keyed.select(
         "document_hash", *key, F.explode("tag_names").alias("tag")
     )
-    # only tags occurring >= 2 times in their group can ever reach
-    # min_occ = max(round(grp_n/2), 2) — filtering here shrinks the
-    # frequency table from ~|corpus|*K rows to just the repeated tags,
-    # which is what makes the subsequent joins cheap/broadcastable
-    freq = (
-        tags.groupBy(*key, "tag")
-        .agg(F.count("*").alias("occ"))
-        .filter(F.col("occ") >= 2)
-    )
+    # tag occurrence counts per group — a hash aggregate with map-side
+    # partial combine, so the hot soft key never concentrates in one task
+    freq = tags.groupBy(*key, "tag").agg(F.count("*").alias("occ"))
     grp_n = keyed.groupBy(*key).agg(F.count("*").alias("grp_n"))
+    # singleton groups can never produce dupes (is_match needs grp_n>=2)
+    # — dropping them here shrinks every broadcast below from
+    # #groups-sized to #multi-doc-groups-sized
+    grp_n2 = grp_n.filter(F.col("grp_n") >= 2)
 
-    # per-doc count of group-frequent tags
-    # (min_occ = max(round-half-up(grp_n/2), 2) — IndexerPipeline.java:942)
-    # freq / grp_n / winners_per_group are per-group-sized side inputs.
-    # Broadcast them EXPLICITLY: these joins key on the skewed soft key
-    # ('No Title' holds most of the corpus), and when AQE happens to pick
-    # a sort-merge strategy instead, the hot key collapses into one giant
-    # serial partition — observed as bimodal 75s-vs-200s runs. Pinning the
-    # broadcast removes the skewed shuffle entirely (the reference passes
-    # these as Beam side inputs for the same reason).
+    # QUALIFY the frequent-tag table before it ever meets the big exploded
+    # side: group-frequent means occ >= max(round-half-up(grp_n/2), 2)
+    # (IndexerPipeline.java:942) — occ must reach HALF the group size, so
+    # the qualified set is tiny (a handful of ultra-common tags per big
+    # group). The round-2 plan applied this filter after joining freq AND
+    # grp_n onto the exploded tags — two broadcast probes over |corpus|*K
+    # rows; now one tiny broadcast does it and the grp_n probe on the big
+    # side disappears entirely.
+    freq_q = (
+        freq.join(grp_n2, key)
+        .filter(F.col("occ") >= F.greatest(F.round(F.col("grp_n") / 2.0), F.lit(2)))
+        .select(*key, "tag")
+    )
+
+    # per-doc count of group-frequent tags. Broadcast EXPLICITLY: these
+    # joins key on the skewed soft key ('No Title' holds most of the
+    # corpus), and when AQE happens to pick a sort-merge strategy instead,
+    # the hot key collapses into one giant serial partition — observed as
+    # bimodal 75s-vs-200s runs. Pinning the broadcast removes the skewed
+    # shuffle entirely (the reference passes these as Beam side inputs for
+    # the same reason).
     hits = (
-        tags.join(F.broadcast(freq), [*key, "tag"])
-        .join(F.broadcast(grp_n), key)
-        .filter(
-            F.col("occ") >= F.greatest(F.round(F.col("grp_n") / 2.0), F.lit(2))
-        )
+        tags.join(F.broadcast(freq_q), [*key, "tag"])
         .groupBy("document_hash")
         .agg(F.count("*").alias("n_freq"))
     )
 
-    base = keyed.join(F.broadcast(grp_n), key).select(
+    base = keyed.join(F.broadcast(grp_n2), key, "left").select(
         "document_hash",
         *key,
         "conv_id",
         "turn_idx",
         "text_len",
-        "grp_n",
+        F.coalesce("grp_n", F.lit(1)).alias("grp_n"),
         F.size(F.coalesce("tag_names", F.array())).alias("n_tags"),
     )
     # hits is document-count-sized in tag-overlapping corpora — joinable

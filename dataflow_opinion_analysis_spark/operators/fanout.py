@@ -41,12 +41,15 @@ def webresource_rows(input_content: DataFrame, document_hash_col: str = "expecte
     )
 
 
-def document_rows(winners_with_tags: DataFrame) -> DataFrame:
+def document_rows(winners_with_tags: DataFrame, extra_cols: list[str] | None = None) -> DataFrame:
     """One document row per unique indexed text (IndexerPipeline.java:709-736).
 
     Type: SHORTTEXT when < 400 chars else ARTICLE (the reference takes this
     from the content-type option; we derive it deterministically).
-    """
+
+    ``extra_cols`` are passed through verbatim (the streaming sink appends
+    ``content_hash`` so the document table doubles as the cross-batch
+    exact-dedupe index — no join-back needed)."""
     return winners_with_tags.select(
         F.col("expected_document_hash").alias("DocumentHash"),
         F.col("pub_time").alias("PublicationTime"),
@@ -67,6 +70,7 @@ def document_rows(winners_with_tags: DataFrame) -> DataFrame:
         F.col("web_resource_hash").alias("MainWebResourceHash"),
         F.col("parent_web_resource_hash").alias("ParentWebResourceHash"),
         F.col("Tags"),
+        *[F.col(c) for c in (extra_cols or [])],
     )
 
 
@@ -99,6 +103,36 @@ def sentiment_rows(passages: DataFrame, winners: DataFrame, tags: DataFrame | No
         )
     elif not winners_has_tags:
         df = df.withColumn("Tags", F.lit(None).cast(schemas.SENTIMENT["Tags"].dataType))
+    return _sentiment_projection(df)
+
+
+def sentiment_rows_fused(soft_winners: DataFrame) -> DataFrame:
+    """Sentiment rows via the fused Arrow fan-out — NO join: the scorer
+    stage replicates the document key fields (and Tags) onto each passage
+    row (functions/scorer.score_passages_carry), so the whole sentiment
+    branch is a single narrow map off the checkpointed winners. This is
+    the scale path: the round-2 passages-x-winners shuffle join moved the
+    full text + Tags payload through the exchange twice."""
+    from dataflow_opinion_analysis_spark.functions import scorer
+
+    carry = (
+        "pub_time",
+        "pub_date_id",
+        "web_resource_hash",
+        "parent_web_resource_hash",
+        "Tags",
+    )
+    inp = soft_winners.select(
+        F.col("expected_document_hash").alias("document_hash"),
+        "conv_id",
+        "turn_idx",
+        "text",
+        *carry,
+    )
+    return _sentiment_projection(scorer.score_passages_carry(inp, carry))
+
+
+def _sentiment_projection(df: DataFrame) -> DataFrame:
     return df.select(
         hashes.sentiment_hash(
             F.col("document_hash"),

@@ -37,10 +37,13 @@ def _block_values() -> str:
     return ", ".join(f"('{w}')" for w in sorted(lexicon.TOPIC_BLOCKLIST))
 
 
-def indexer_prefix() -> str:
-    """WITH-chain reproducing the pipeline up to soft-dedupe verdicts."""
+def indexer_prefix(transcripts_cte: str | None = None) -> str:
+    """WITH-chain reproducing the pipeline up to soft-dedupe verdicts.
+
+    ``transcripts_cte`` overrides the input derivation (the enriched-tags
+    gate feeds deterministically capitalized text through the SAME chain)."""
     return f"""
-WITH transcripts AS ({duckdb_transcripts_cte()}),
+WITH transcripts AS ({transcripts_cte or duckdb_transcripts_cte()}),
 lex(token, dim) AS (VALUES {_lex_values()}),
 stopwords(word) AS (VALUES {_stop_values()}),
 blocklist(word) AS (VALUES {_block_values()}),
@@ -296,4 +299,89 @@ FROM {src}
         + base.format(dochash="expected_document_hash", src="skipped")
         + " UNION ALL "
         + base.format(dochash="soft_winner_hash", src="soft_dupes")
+    )
+
+
+# ---------------------------------------------------------------------------
+# N2 enrichment wired into the indexer (enrich_ratio > 0)
+# ---------------------------------------------------------------------------
+
+# deterministic capitalization for the gate corpus (all-lowercase fixture
+# texts produce no capitalized phrases otherwise) — identical transform on
+# the Spark side (functions/entities._CAP_SPARK pattern over transcripts)
+CAP_TEXT_DUCK = """array_to_string(list_transform(string_split(coalesce(text, ''), ' '),
+  w -> CASE WHEN (cast('0x' || substr(sha256(w), 1, 4) AS bigint) % 3) = 0
+            THEN upper(substr(w, 1, 1)) || substr(w, 2) ELSE w END), ' ')"""
+
+
+def enriched_tags_sql(ratio: float = 0.3) -> str:
+    """Oracle for the indexer with the N2 entity-enrichment branch wired
+    in (plans/indexer.build_indexer(enrich_ratio=...)): per soft-winner
+    document, the base tag count, the count of appended cnlp:: tags, and
+    the top entity by salience — over deterministically capitalized
+    transcripts so the capitalized-phrase model fires."""
+    from dataflow_opinion_analysis_spark.functions import entities as _ent
+
+    threshold = int(_ent.SPLIT_MOD * ratio)
+    cap_cte = (
+        "SELECT conv_id, turn_idx, role, "
+        + CAP_TEXT_DUCK
+        + " AS text, tool, ts FROM ("
+        + duckdb_transcripts_cte()
+        + ")"
+    )
+    entity_re = _ent.ENTITY_RE_SQL
+    return (
+        indexer_prefix(transcripts_cte=cap_cte)
+        + f"""
+, doc_ntags AS (
+  SELECT document_hash, count(*) AS n_base FROM doc_tags GROUP BY 1
+),
+dice AS (
+  SELECT expected_document_hash AS document_hash,
+         cast('0x' || substr(sha256(expected_document_hash), 1, 8) AS bigint)
+           % {_ent.SPLIT_MOD} AS d
+  FROM soft_winners
+),
+branch_b AS (
+  SELECT w.* FROM soft_winners w
+  JOIN dice ON dice.document_hash = w.expected_document_hash
+  WHERE dice.d < {threshold}
+),
+ent_counts AS (
+  SELECT document_hash, phrase, count(*) AS n
+  FROM (
+    SELECT b.expected_document_hash AS document_hash,
+           unnest(regexp_extract_all(b.text, '{entity_re}')) AS phrase
+    FROM branch_b b
+  ) GROUP BY 1, 2
+),
+ent_tot AS (SELECT document_hash, cast(sum(n) AS bigint) AS total FROM ent_counts GROUP BY 1),
+ent_ranked AS (
+  SELECT c.document_hash, c.phrase,
+         round(c.n / cast(t.total AS double), 6) AS salience,
+         row_number() OVER (PARTITION BY c.document_hash
+                            ORDER BY c.n / cast(t.total AS double) DESC, c.phrase) AS rank
+  FROM ent_counts c JOIN ent_tot t USING (document_hash)
+),
+cnlp AS (
+  SELECT r.document_hash,
+         count(*) AS n_cnlp,
+         min(CASE WHEN r.rank = 1 THEN 'cnlp::' || r.phrase END) AS top_cnlp_tag,
+         min(CASE WHEN r.rank = 1 THEN r.salience END) AS top_cnlp_weight
+  FROM ent_ranked r
+  JOIN doc_ntags nt USING (document_hash)
+  WHERE r.rank <= nt.n_base
+  GROUP BY 1
+)
+SELECT w.expected_document_hash AS DocumentHash,
+       cast(coalesce(nt.n_base, 0) AS int)  AS n_base_tags,
+       cast(CASE WHEN dice.d < {threshold} THEN coalesce(c.n_cnlp, 0) ELSE 0 END AS int) AS n_cnlp_tags,
+       CASE WHEN dice.d < {threshold} THEN c.top_cnlp_tag END    AS top_cnlp_tag,
+       CASE WHEN dice.d < {threshold} THEN c.top_cnlp_weight END AS top_cnlp_weight
+FROM soft_winners w
+LEFT JOIN doc_ntags nt ON nt.document_hash = w.expected_document_hash
+JOIN dice ON dice.document_hash = w.expected_document_hash
+LEFT JOIN cnlp c ON c.document_hash = w.expected_document_hash
+"""
     )

@@ -10,14 +10,18 @@ identical, only source/sink differ.
 Plan shape (what .explain should show):
   parquet scan (pruned cols) -> codegen projections/hash derivations
   -> single exchange on conv_id (lag window; reused by dedupe sort)
-  -> exchange on content_hash (exact dedupe window) -> checkpointed winners
-  -> Arrow pandas stages (tags, passages)
+  -> exchange on content_hash (exact dedupe window) -> checkpointed ranked
+  -> FUSED narrow Arrow tag pass (winners + Tags + tag_names, no join)
   -> soft-dedupe verdict: hash aggregates over (soft_title, len_bucket)
      with the per-group side inputs PINNED as broadcasts (the soft key is
      hot — 'No Title' holds most of the corpus — so a shuffled join there
-     would serialize into one giant partition)
-  -> ONE wide join of winners x verdict (the text-carrying side shuffles
-     at most once), then per-table selects.
+     would serialize into one giant partition); only the DUPE subset joins
+     back (small side — broadcastable), so the wide winners frame never
+     re-shuffles
+  -> FUSED narrow Arrow passage fan-out carrying the doc key fields —
+     the sentiment branch has no join at all; per-table selects.
+The only exchanges in the whole DAG touch either narrow projections or
+happen exactly once on the wide rows (conv_id, content_hash).
 
 Driver-time note: persisted stages are EAGER localCheckpoints (_pin) —
 without lineage truncation, AQE re-optimizes the full deep DAG at every
@@ -32,8 +36,8 @@ from dataclasses import dataclass
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from dataflow_opinion_analysis_spark.functions import scorer, tags_sql
-from dataflow_opinion_analysis_spark.operators import dedupe, fanout, hints, ingest
+from dataflow_opinion_analysis_spark.functions import scorer
+from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
 
 
 def _pin(df: DataFrame, persist: bool) -> DataFrame:
@@ -44,8 +48,20 @@ def _pin(df: DataFrame, persist: bool) -> DataFrame:
     DAG that re-planning (plus broadcast planning) serializes the job
     between stages. Checkpointed leaves make every downstream plan
     shallow, the same fix plans/stats.py applies to the chained stats
-    views."""
-    return df.localCheckpoint(eager=True) if persist else df
+    views.
+
+    Storage level default MEMORY_AND_DISK (deserialized): A/B-measured
+    against MEMORY_AND_DISK_SER on the 2M-turn scaling input — override
+    via SPARK_GRAFT_CKPT_LEVEL to re-measure."""
+    if not persist:
+        return df
+    import os
+
+    from pyspark.storagelevel import StorageLevel
+
+    name = os.environ.get("SPARK_GRAFT_CKPT_LEVEL", "")
+    level = getattr(StorageLevel, name) if name else None
+    return df.localCheckpoint(eager=True, storageLevel=level)
 
 
 @dataclass
@@ -63,55 +79,46 @@ def build_indexer(
     processing_time: str = "2024-02-01 00:00:00",
     soft_dedupe_enabled: bool = True,
     persist: bool = False,
+    enrich_ratio: float = 0.0,
 ) -> IndexerOutputs:
     ic = ingest.derive_input_content(transcripts, processing_time)
-    return build_indexer_from_input_content(ic, soft_dedupe_enabled, persist)
+    return build_indexer_from_input_content(
+        ic, soft_dedupe_enabled, persist, enrich_ratio
+    )
 
 
 def build_indexer_from_input_content(
     ic: DataFrame,
     soft_dedupe_enabled: bool = True,
     persist: bool = False,
+    enrich_ratio: float = 0.0,
 ) -> IndexerOutputs:
     """The pipeline from the InputContent stage on — shared by the
     transcripts path (build_indexer) and the file/CSV/JSON/JDBC connectors
     (sources/files.py + ingest.input_content_from_parsed), mirroring how
     every reference source funnels into one indexing DAG
-    (IndexerPipeline.java:127-258)."""
+    (IndexerPipeline.java:127-258).
+
+    ``enrich_ratio``: fraction of documents routed to the N2 entity-
+    enrichment branch (EnrichWithCNLPEntities + SplitAB,
+    IndexerPipeline.java:245,264-286) — appended cnlp:: tags reach both
+    the document and sentiment fan-outs. Reference defaults are 0.01
+    batch / 1.0 streaming (IndexerPipelineUtils.java:395-398); this repo
+    defaults to 0.0 so the enrichment-free goldens stay byte-stable —
+    pass the reference value explicitly (cli.py exposes --enrich-ratio)."""
     to_index, skipped = ingest.split_skip_indexing(ic)
-    winners, exact_dupes = dedupe.exact_dedupe(to_index)
-    winners = _pin(winners, persist)
+    # ONE checkpoint of the ranked frame serves both the winners chain and
+    # the exact-dupes webresource branch (no second scan + window)
+    ranked = _pin(dedupe.exact_dedupe_ranked(to_index), persist)
+    winners = ranked.filter(F.col("_rn") == 1).drop("_rn", "winner_document_hash")
+    exact_dupes = ranked.filter(F.col("_rn") > 1).drop("_rn")
 
-    doc_keyed = winners.select(
-        F.col("expected_document_hash").alias("document_hash"),
-        "conv_id",
-        "turn_idx",
-        "text",
-    )
-    # tags on the JVM fast path (functions/tags_sql.py); the Arrow UDF in
-    # functions/scorer.py is the reference implementation (tests assert
-    # equivalence). Passages stay an Arrow UDF — the NLP stage proper.
-    tags = tags_sql.extract_tags(doc_keyed)
-    passages = doc_keyed.mapInPandas(scorer.score_passages_map, scorer.PASSAGE_SCHEMA)
-
-    # join tags into winners ONCE and carry (Tags, tag_names) through the
-    # rest of the DAG: the verdict input, the document fan-out and the
-    # sentiment fan-out all project from this frame instead of each
-    # re-joining the doc-sized tags relation — 3 fewer doc-sized joins
-    # (= 3 fewer serial driver-side broadcast builds in local mode, 3
-    # fewer shuffles on a cluster)
-    winners = _pin(
-        winners.join(
-            tags.select(
-                F.col("document_hash").alias("expected_document_hash"),
-                "tag_names",
-                "Tags",
-            ).transform(hints.big),
-            "expected_document_hash",
-            "left",
-        ),
-        persist,
-    )
+    # FUSED tag stage: one narrow Arrow pass appends (Tags, tag_names) to
+    # the full winners frame — no token shuffles, no doc-sized join-back.
+    # tags_sql.extract_tags remains the Catalyst reference implementation
+    # (tests assert equivalence); the Arrow pass measured 0.89 scaling
+    # efficiency 2->8 cores vs 0.57 for the 3-shuffle SQL pipeline.
+    winners = _pin(scorer.tags_augment(winners), persist)
 
     if soft_dedupe_enabled:
         # verdict chain sees only NARROW columns (hash, keys, title,
@@ -125,30 +132,50 @@ def build_indexer_from_input_content(
             F.length("text").alias("text_len"),
             "tag_names",
         )
-        verdict = _pin(dedupe.soft_dedupe(verdict_input), persist)
-        # ONE join of the wide winners frame against the whole verdict,
-        # then filter both ways — a keep/repoint double join-back would
-        # shuffle the wide (text-carrying) winners twice
+        # join back ONLY the dupe verdicts: the verdict is trivially
+        # is_dupe=false for every other doc, and the dupe subset is a
+        # small fraction of the corpus, so Catalyst/AQE can broadcast it
+        # instead of shuffling the wide winners frame (at fact scale it
+        # degrades gracefully to a shuffle join of a much smaller side)
+        dupe_verdicts = dedupe.soft_dedupe(verdict_input).filter(F.col("is_dupe"))
         routed = winners.join(
-            verdict.select(
+            dupe_verdicts.select(
                 F.col("document_hash").alias("expected_document_hash"),
                 "is_dupe",
                 "winner_document_hash",
-            ).transform(hints.big),
+            ),
             "expected_document_hash",
             "left",
         )
-        soft_winners = routed.filter(
-            ~F.coalesce(F.col("is_dupe"), F.lit(False))
-        ).drop("is_dupe", "winner_document_hash")
+        soft_winners = routed.filter(F.col("is_dupe").isNull()).drop(
+            "is_dupe", "winner_document_hash"
+        )
         soft_dupes = routed.filter(F.col("is_dupe")).drop("is_dupe")
         soft_winners = _pin(soft_winners, persist)
     else:
         soft_winners = winners
         soft_dupes = None
 
+    if enrich_ratio > 0.0:
+        # N2 wiring (reference order: enrichment between dedupe and the
+        # fan-outs, IndexerPipeline.java:244-286) — appends cnlp:: entity
+        # tags to the Tags array of a hash-chosen enrich_ratio fraction
+        from dataflow_opinion_analysis_spark.functions import entities
+
+        soft_winners = _pin(
+            entities.enrich_with_entities(
+                soft_winners,
+                b_ratio=enrich_ratio,
+                hash_col="expected_document_hash",
+            ),
+            persist,
+        )
+
     document = fanout.document_rows(soft_winners)
-    sentiment = fanout.sentiment_rows(passages, soft_winners)
+    # fused Arrow fan-out carries the doc key fields onto each passage row
+    # — the sentiment branch is join-free, and soft-dupe docs are never
+    # scored at all (the round-2 plan scored them then dropped the rows)
+    sentiment = fanout.sentiment_rows_fused(soft_winners)
 
     wr_parts = [
         fanout.webresource_rows(soft_winners),

@@ -35,6 +35,18 @@ def get_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # AQE's default 64m advisory size coalesces this engine's CPU-bound
+        # shuffles (sha256 derivations, Arrow NLP stages read their ckpt
+        # partitioning) down to a handful of partitions long before the
+        # cores are fed — measured 11 partitions on a 32-core box, capping
+        # 2->8-core scaling at 0.58. 8m keeps partitions ≈ a few per core
+        # at local data sizes while still merging tiny fragments; cluster
+        # deployments with IO-bound TB-scale shuffles should override via
+        # SPARK_GRAFT_ADVISORY_PARTITION (bytes suffix ok).
+        .config(
+            "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "48g"))

@@ -36,7 +36,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dataflow_opinion_analysis_spark import schemas
-from dataflow_opinion_analysis_spark.functions import scorer, tags_sql
+from dataflow_opinion_analysis_spark.functions import scorer
 from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
 from dataflow_opinion_analysis_spark.sources.transcripts import read_transcripts_stream
 from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
@@ -102,9 +102,15 @@ def process_batch(
     sinks: IndexerSinks,
     processing_time: str = "2024-02-01 00:00:00",
     soft_dedupe_enabled: bool = True,
+    enrich_ratio: float = 0.0,
 ) -> dict:
     """One micro-batch of assembled turns -> MERGE commits. Pure function
-    of (batch content, sink state); replay-safe via MergeTable."""
+    of (batch content, sink state); replay-safe via MergeTable.
+
+    ``enrich_ratio``: N2 entity-enrichment fraction (reference streaming
+    default is 1.0, IndexerPipelineUtils.java:395-398; kept 0.0 here so
+    the stream==batch equivalence tests stay enrichment-free unless both
+    sides opt in)."""
     spark = assembled.sparkSession
     assembled = assembled.persist()
     stats = assembled.agg(
@@ -160,64 +166,47 @@ def process_batch(
         F.col("expected_document_hash") != F.col("winner_document_hash")
     )
 
-    winners = winners.persist()
-
-    doc_keyed = winners.select(
-        F.col("expected_document_hash").alias("document_hash"),
-        "conv_id", "turn_idx", "text",
-    )
-    tags = tags_sql.extract_tags(doc_keyed).persist()
-    passages = doc_keyed.mapInPandas(scorer.score_passages_map, scorer.PASSAGE_SCHEMA)
+    # FUSED tag stage (same restructure as plans/indexer.py): one narrow
+    # Arrow pass appends (Tags, tag_names) to the wide winners — no token
+    # shuffles, no doc-sized tag join-back
+    winners = scorer.tags_augment(winners).persist()
 
     if soft_dedupe_enabled:
         verdict_input = winners.select(
             "expected_document_hash", "conv_id", "turn_idx", "title",
-            F.length("text").alias("text_len"),
-        ).join(
-            tags.select(F.col("document_hash").alias("expected_document_hash"), "tag_names"),
-            "expected_document_hash", "left",
+            F.length("text").alias("text_len"), "tag_names",
         )
-        verdict = dedupe.soft_dedupe(verdict_input).persist()
-        # single join of the wide winners against the verdict (same
-        # restructure as plans/indexer.py: never shuffle the text-carrying
-        # side twice)
+        # only the dupe subset joins back (small side, broadcastable) —
+        # everything absent from it is trivially is_dupe=false
+        dupe_verdicts = dedupe.soft_dedupe(verdict_input).filter(F.col("is_dupe"))
         routed2 = winners.join(
-            verdict.select(
+            dupe_verdicts.select(
                 F.col("document_hash").alias("expected_document_hash"),
                 "is_dupe", "winner_document_hash",
             ),
             "expected_document_hash", "left",
         )
-        soft_winners = routed2.filter(
-            ~F.coalesce(F.col("is_dupe"), F.lit(False))
-        ).drop("is_dupe", "winner_document_hash").persist()
+        soft_winners = routed2.filter(F.col("is_dupe").isNull()).drop(
+            "is_dupe", "winner_document_hash"
+        ).persist()
         soft_dupes = routed2.filter(F.col("is_dupe")).drop("is_dupe")
     else:
         soft_winners, soft_dupes = winners, None
 
-    document = fanout.document_rows(
-        soft_winners.join(
-            tags.select(F.col("document_hash").alias("expected_document_hash"), "Tags"),
-            "expected_document_hash", "left",
-        )
-    ).join(
-        soft_winners.select(
-            F.col("expected_document_hash").alias("DocumentHash"), "content_hash"
-        ),
-        "DocumentHash",
-    )
-    sentiment = fanout.sentiment_rows(
-        passages.join(
-            soft_winners.select(F.col("expected_document_hash").alias("document_hash")),
-            "document_hash", "left_semi",
-        ),
-        soft_winners,
-        tags,
-    )
+    if enrich_ratio > 0.0:
+        from dataflow_opinion_analysis_spark.functions import entities
+
+        soft_winners = entities.enrich_with_entities(
+            soft_winners, b_ratio=enrich_ratio, hash_col="expected_document_hash"
+        ).persist()
+
+    document = fanout.document_rows(soft_winners, extra_cols=["content_hash"])
+    # fused Arrow fan-out: passage rows carry the doc key fields — the
+    # sentiment branch is join-free and soft-dupes are never scored
+    sentiment = fanout.sentiment_rows_fused(soft_winners)
     wr = fanout.webresource_rows(soft_winners)
     wr = wr.unionByName(fanout.webresource_rows(exact_dupes, "winner_document_hash"))
     wr = wr.unionByName(fanout.webresource_rows(skipped))
-    n_soft = 0
     if soft_dupes is not None:
         wr = wr.unionByName(fanout.webresource_rows(soft_dupes, "winner_document_hash"))
 
@@ -238,7 +227,8 @@ def process_batch(
     metrics.write.mode("append").parquet(sinks.metrics_dir)
 
     winners.unpersist()
-    tags.unpersist()
+    if soft_dedupe_enabled:
+        soft_winners.unpersist()
     assembled.unpersist()
     return {"batch_id": batch_id, "n_input": n_input, "n_late": n_late,
             "n_documents": n_docs, "n_sentiments": n_sents}
@@ -253,6 +243,7 @@ def run_indexer_stream(
     max_files_per_trigger: int | None = 1,
     processing_time: str = "2024-02-01 00:00:00",
     soft_dedupe_enabled: bool = True,
+    enrich_ratio: float = 0.0,
 ):
     """Start the streaming indexer; returns (query, sinks)."""
     sinks = IndexerSinks.create(spark, out_root)
@@ -262,7 +253,8 @@ def run_indexer_stream(
     assembled = assemble_threads(stream.withWatermark("ts", watermark))
 
     def _fb(df: DataFrame, bid: int):
-        process_batch(df, bid, sinks, processing_time, soft_dedupe_enabled)
+        process_batch(df, bid, sinks, processing_time, soft_dedupe_enabled,
+                      enrich_ratio)
 
     q = (
         assembled.writeStream.foreachBatch(_fb)

@@ -6,30 +6,39 @@ reporting throughput at both plus efficiency = (tps_4N / tps_N) / 4.
 This evidences the north rule's two-cluster-size criterion in the
 sandbox (no real cluster): executor threads stand in for executors.
 
-Measurement protocol (round-2 rewrite; the round-1 version appended
-single unpaired runs and took best-of-N per side, which both understated
-and overstated under host noise):
+Measurement protocol (round-3):
+- each side runs the full indexer job TWICE inside one session; the
+  SECOND (steady-state) iteration is the measured window, the first is
+  recorded as the cold run. The north-rule metric is sustained
+  streaming throughput: JVM JIT, Python-worker pool spawn, code-cache
+  and allocator ramp are one-time cluster-startup costs, not per-batch
+  throughput, and a continuously-running engine amortizes them to zero
+  (this is also what the round-2 verdict prescribed: "measure
+  steady-state throughput (exclude first-job overhead) as the
+  protocol's measured window"). Cold-run efficiency is reported
+  alongside, unhidden.
+- both sides run the IDENTICAL plan: spark.sql.shuffle.partitions is
+  pinned to 32 for N and 4N (the session default would otherwise derive
+  it from the master string and change the plan between sides).
 - runs are PAIRED and INTERLEAVED with alternating order
-  (N,4N / 4N,N / N,4N ...), so slow host phases hit both sides;
-- the per-pair efficiency is computed within each pair and the MEDIAN
-  pair efficiency is the headline number (plus per-side medians);
+  (N,4N / 4N,N / ...), so slow host phases hit both sides; the per-pair
+  efficiency is computed within each pair and the MEDIAN pair efficiency
+  is the headline number;
 - a 32-process spin probe runs before every measurement; pairs whose
-  two probes diverge more than 25% are flagged as noise-contaminated;
+  two probes diverge more than 25% are flagged noise-contaminated and
+  excluded from the median;
 - BENCH/BASELINE.md is REWRITTEN with one authoritative table, the
   methodology, and every raw observation (no append-only accumulation).
 
 Default N=2 (4N=8): the sandbox host exposes 32 hardware threads but is
-MULTI-TENANT — probe-measured capacity swings between ~77 and ~200
-Miter/s (2.6x) over minutes. A 4N side that needs a large share of the
-machine measures tenancy, not scaling; 8 threads fit inside the
-capacity floor, so the pair stays comparable through host swings. The
-same script produces the 16- and 32-thread data points with --n 4/--n 8
-(both show the saturation regime: beyond ~8-16 threads a single-JVM
-local-mode job is bounded by the shared memory bus, one shuffle volume
-and driver-side planning, none of which multiply with threads).
+MULTI-TENANT — probe-measured capacity swings ~2.6x over minutes. A 4N
+side that needs a large share of the machine measures tenancy, not
+scaling; 8 threads fit inside the capacity floor, so the pair stays
+comparable through host swings. --n 4 / --n 8 produce the 16- and
+32-thread points (the saturation regime of a single shared memory bus).
 
 Usage:
-  python scripts/bench_scaling.py [--turns 4000000] [--n 4] [--repeats 3]
+  python scripts/bench_scaling.py [--turns 2000000] [--n 2] [--repeats 3]
                                   [--mode batch|stream] [--no-md]
 """
 
@@ -54,34 +63,40 @@ sys.path.insert(0, {repo!r})
 from dataflow_opinion_analysis_spark.session import get_spark
 
 mode = {mode!r}
-spark = get_spark(app_name="bench_scaling", master="local[{cores}]")
-# warm-up: JVM JIT + Python worker pool spawn are one-time cluster costs,
-# not per-job throughput — exclude them from the measured window
+# identical plan on both sides: pin the shuffle width
+spark = get_spark(app_name="bench_scaling", master="local[{cores}]",
+                  shuffle_partitions=32)
+# warm-up: JVM JIT + Python worker pool spawn are one-time cluster costs
 spark.range(2_000_000).selectExpr("sum(id)").collect()
 spark.range(10_000).mapInPandas(lambda it: it, "id long").count()
-t0 = time.perf_counter()
-if mode == "batch":
-    from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
-    t = spark.read.parquet({data!r})
-    out = build_indexer(t, persist=True)
-    n_wr = out.webresource.count()
-    n_doc = out.document.count()
-    n_sent = out.sentiment.count()
-else:
-    from dataflow_opinion_analysis_spark.streaming.pipeline import run_indexer_stream
-    out_root = {out_root!r}
-    q, sinks = run_indexer_stream(
-        spark, {data!r}, out_root, os.path.join(out_root, "ckpt"),
-        watermark="10 minutes", max_files_per_trigger=4,
-        soft_dedupe_enabled=False,
-    )
-    q.processAllAvailable()
-    q.stop()
-    n_wr = sinks.webresource.read().count()
-    n_doc = sinks.document.read().count()
-    n_sent = sinks.sentiment.read().count()
-wall = time.perf_counter() - t0
-print(json.dumps({{"wall": wall, "n_wr": n_wr, "n_doc": n_doc, "n_sent": n_sent}}))
+walls = []
+for it in range(2):
+    t0 = time.perf_counter()
+    if mode == "batch":
+        from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+        t = spark.read.parquet({data!r})
+        out = build_indexer(t, persist=True)
+        n_wr = out.webresource.count()
+        n_doc = out.document.count()
+        n_sent = out.sentiment.count()
+    else:
+        import shutil as _sh
+        from dataflow_opinion_analysis_spark.streaming.pipeline import run_indexer_stream
+        out_root = os.path.join({out_root!r}, f"it{{it}}")
+        q, sinks = run_indexer_stream(
+            spark, {data!r}, out_root, os.path.join(out_root, "ckpt"),
+            watermark="10 minutes", max_files_per_trigger=4,
+            soft_dedupe_enabled=False,
+        )
+        q.processAllAvailable()
+        q.stop()
+        n_wr = sinks.webresource.read().count()
+        n_doc = sinks.document.read().count()
+        n_sent = sinks.sentiment.read().count()
+    walls.append(time.perf_counter() - t0)
+    spark.catalog.clearCache()
+print(json.dumps({{"cold_wall": walls[0], "steady_wall": walls[1],
+                   "n_wr": n_wr, "n_doc": n_doc, "n_sent": n_sent}}))
 spark.stop()
 """
 
@@ -117,7 +132,8 @@ def run_one(cores: int, data: str, n_turns: int, mode: str) -> dict:
         raise RuntimeError(f"bench run at local[{cores}] failed")
     res = json.loads(r.stdout.strip().splitlines()[-1])
     res["cores"] = cores
-    res["turns_per_sec"] = round(n_turns / res["wall"], 1)
+    res["cold_tps"] = round(n_turns / res["cold_wall"], 1)
+    res["steady_tps"] = round(n_turns / res["steady_wall"], 1)
     return res
 
 
@@ -155,7 +171,8 @@ def main() -> int:
         for cores in order:
             probes[cores] = cpu_probe()
             obs[cores] = run_one(cores, data, n_turns, args.mode)
-        eff = round((obs[big_c]["turns_per_sec"] / obs[small_c]["turns_per_sec"]) / 4, 3)
+        eff = round((obs[big_c]["steady_tps"] / obs[small_c]["steady_tps"]) / 4, 3)
+        cold_eff = round((obs[big_c]["cold_tps"] / obs[small_c]["cold_tps"]) / 4, 3)
         drift = abs(probes[small_c] - probes[big_c]) / max(probes.values())
         pairs.append(
             {
@@ -166,14 +183,16 @@ def main() -> int:
                 "probe_drift": round(drift, 3),
                 "noisy": drift > 0.25,
                 "efficiency": eff,
+                "cold_efficiency": cold_eff,
             }
         )
         print(json.dumps(pairs[-1]), file=sys.stderr)
 
     clean = [p for p in pairs if not p["noisy"]] or pairs
     med_eff = round(statistics.median(p["efficiency"] for p in clean), 3)
-    med_small = round(statistics.median(p["small"]["turns_per_sec"] for p in clean), 1)
-    med_big = round(statistics.median(p["big"]["turns_per_sec"] for p in clean), 1)
+    med_cold = round(statistics.median(p["cold_efficiency"] for p in clean), 3)
+    med_small = round(statistics.median(p["small"]["steady_tps"] for p in clean), 1)
+    med_big = round(statistics.median(p["big"]["steady_tps"] for p in clean), 1)
 
     result = {
         "metric": "indexer_turns_per_sec_scaling",
@@ -184,6 +203,7 @@ def main() -> int:
         "median_small_tps": med_small,
         "median_big_tps": med_big,
         "median_pair_efficiency": med_eff,
+        "median_cold_efficiency": med_cold,
         "meets_0.8": med_eff >= 0.8,
         "pairs": pairs,
     }
@@ -202,33 +222,59 @@ def write_md(result: dict) -> None:
         "",
         "Single authoritative result (this file is REWRITTEN by",
         "`scripts/bench_scaling.py`, not appended; see the script docstring",
-        "for the paired-interleaved protocol and why N=4/4N=16 is the",
-        "primary configuration on a 32-thread shared host).",
+        "for the paired-interleaved steady-state protocol).",
         "",
         f"- mode: **{result['mode']}** indexer, {result['n_turns']} turns",
-        f"- configuration: local[{result['n_small']}] vs local[{result['n_big']}]",
-        f"- median throughput: {result['median_small_tps']} turns/s at "
+        f"- configuration: local[{result['n_small']}] vs local[{result['n_big']}], "
+        "identical plans (shuffle width pinned to 32 on both sides)",
+        f"- median steady-state throughput: {result['median_small_tps']} turns/s at "
         f"N={result['n_small']}, {result['median_big_tps']} turns/s at 4N={result['n_big']}",
-        f"- **median pair efficiency = {result['median_pair_efficiency']}** "
+        f"- **median pair efficiency (steady-state) = {result['median_pair_efficiency']}** "
         f"(target >= 0.8: {'MET' if result['meets_0.8'] else 'NOT MET'})",
+        f"- median pair efficiency (cold first run, incl. one-time startup ramp) = "
+        f"{result['median_cold_efficiency']}",
         "",
-        "| pair | order | N wall (s) | N tps | 4N wall (s) | 4N tps | probes (Miter/s) | drift | noisy | efficiency |",
-        "|---|---|---|---|---|---|---|---|---|---|",
+        "| pair | order | N cold (s) | N steady (s) | N tps | 4N cold (s) | 4N steady (s) | 4N tps | probes (Miter/s) | drift | noisy | eff (steady) | eff (cold) |",
+        "|---|---|---|---|---|---|---|---|---|---|---|---|---|",
     ]
     for i, p in enumerate(result["pairs"]):
         probes = "/".join(str(v) for v in p["probes"].values())
         lines.append(
-            f"| {i} | {p['order']} | {p['small']['wall']:.1f} | {p['small']['turns_per_sec']} "
-            f"| {p['big']['wall']:.1f} | {p['big']['turns_per_sec']} | {probes} "
-            f"| {p['probe_drift']} | {p['noisy']} | {p['efficiency']} |"
+            f"| {i} | {p['order']} | {p['small']['cold_wall']:.1f} | {p['small']['steady_wall']:.1f} "
+            f"| {p['small']['steady_tps']} | {p['big']['cold_wall']:.1f} | {p['big']['steady_wall']:.1f} "
+            f"| {p['big']['steady_tps']} | {probes} | {p['probe_drift']} | {p['noisy']} "
+            f"| {p['efficiency']} | {p['cold_efficiency']} |"
         )
     lines += [
         "",
-        "Methodology: pairs run back-to-back with alternating order so host",
-        "noise hits both sides; each run is a fresh subprocess/JVM with JIT +",
-        "Python-worker warm-up excluded from the measured window; a",
-        "32-process spin probe brackets each pair and pairs with >25% probe",
-        "drift are excluded from the median (flagged above).",
+        "Methodology: each side runs the full indexer job twice in one",
+        "session; the second (steady-state) iteration is the measured",
+        "window — the north-rule metric is sustained streaming throughput,",
+        "and JIT / Python-worker-pool / allocator ramp are one-time",
+        "cluster-startup costs a continuously-running engine amortizes to",
+        "zero. Cold-run numbers are reported beside it. Pairs run",
+        "back-to-back with alternating order so host noise hits both",
+        "sides; each run is a fresh subprocess/JVM; a 32-process spin",
+        "probe brackets each pair and pairs with >25% probe drift are",
+        "excluded from the median (flagged above).",
+        "",
+        "What made the job scale (round-3 changes, each A/B-measured at",
+        "local[2] vs local[8] on the same input):",
+        "",
+        "- AQE advisory partition size 64m -> 8m: size-based coalescing was",
+        "  leaving the checkpointed stages 11 partitions on a 32-thread box",
+        "  (tag stage efficiency 0.58 -> 0.95 after the change);",
+        "- fused Arrow tag stage (tags computed in the same narrow pass as",
+        "  the winners frame) replacing a 3-shuffle token pipeline + wide",
+        "  join-back (that pipeline measured 0.57 efficiency);",
+        "- fused Arrow passage fan-out carrying document key fields onto",
+        "  passage rows, deleting the passages-x-winners wide shuffle join",
+        "  (sentiment branch efficiency 0.87-1.05 after);",
+        "- soft-dedupe side-inputs pre-qualified before broadcast (only",
+        "  multi-doc groups, only group-frequent tags) shrinking the serial",
+        "  driver-side broadcast builds;",
+        "- dupe-only verdict join-back (the wide winners frame no longer",
+        "  re-shuffles against a full-corpus verdict).",
         "",
     ]
     with open(md, "w") as f:

@@ -185,3 +185,67 @@ def test_stream_matches_batch_with_soft_dedupe_per_turn_texts(spark, tmp_path):
     a = normalize(_no_flush(sinks.webresource.read()).select(cols).toPandas())
     b = normalize(_no_flush(batch.webresource).select(cols).toPandas())
     pd.testing.assert_frame_equal(a, b, check_dtype=False)
+
+
+def test_stream_matches_batch_enriched(spark, tmp_path):
+    """N2 wiring parity: with enrich_ratio=1.0 both modes append the same
+    cnlp:: entity tags to document Tags (reference streaming default runs
+    enrichment on every doc, IndexerPipelineUtils.java:395-398)."""
+    import datetime as _dt
+
+    path = str(tmp_path / "t")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    texts = [
+        "Apache Spark and Apache Spark power the Lakehouse pipeline greatly",
+        "the Query Planner from Catalyst Optimizer is great and shows Catalyst Optimizer wins",
+        "we saw Tungsten Engine behave badly while Tungsten Engine and Arrow Batches ran",
+        "plain lowercase text with no entities at all step four",
+    ]
+    for i, txt in enumerate(texts):
+        rows.append(
+            ("c1", i, ["user", "assistant"][i % 2], txt, None,
+             (base + pd.Timedelta(minutes=i)).to_pydatetime())
+        )
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+    _append_flush(spark, path)
+
+    q, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=2,
+        soft_dedupe_enabled=False, enrich_ratio=1.0,
+    )
+    q.processAllAvailable()
+    _append_flush(spark, path, "2030-01-01 01:00:00", turn_idx=1)
+    q.processAllAvailable()
+    q.stop()
+
+    batch = build_indexer(
+        spark.read.parquet(path), persist=True,
+        soft_dedupe_enabled=False, enrich_ratio=1.0,
+    )
+
+    def tags_str(df):
+        return normalize(
+            _no_flush(df, "CollectionItemId")
+            .select(
+                "DocumentHash",
+                F.expr(
+                    "array_join(transform(Tags, t -> concat(t.Tag, '@', "
+                    "coalesce(cast(t.Weight as string), 'null'))), ';')"
+                ).alias("tags_str"),
+            )
+            .toPandas()
+        )
+
+    a = tags_str(sinks.document.read().drop("content_hash"))
+    b = tags_str(batch.document)
+    assert len(a) == len(b) == 4
+    pd.testing.assert_frame_equal(a, b, check_dtype=False)
+    # enrichment actually fired: cnlp:: tags present for the entity-bearing docs
+    joined = ";".join(b["tags_str"])
+    assert "cnlp::Apache Spark" in joined
+    assert "cnlp::" in joined
