@@ -86,8 +86,9 @@ def cmd_statscalc(args) -> int:
     sentiment = spark.read.parquet(f"{args.warehouse}/sentiment")
     webresource = spark.read.parquet(f"{args.warehouse}/webresource")
     stats.register_views(spark, document, sentiment, webresource)
-    for name, df in stats.build_stats(spark).items():
-        df.write.mode("overwrite").parquet(f"{args.warehouse}/{name}")
+    # durable chaining: each table is written to the warehouse and the
+    # read-back feeds the next table (reference per-table BigQuery writes)
+    for name in stats.build_stats(spark, store_root=args.warehouse):
         print(f"wrote {name}")
     spark.stop()
     return 0

@@ -182,29 +182,85 @@ def extract_tags_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
 
 TAGS_FIELD_DDL = "array<struct<Tag:string,Weight:double,GoodAsTopic:boolean>>"
 
+# strict-mode failure trigger: a NUL byte in document text kills real NLP
+# parsers (the reference catches exactly such per-document Sirocco
+# exceptions and side-outputs the doc to a dead-letter table,
+# IndexerPipeline.java:307-324). Our scorer is a pure function that cannot
+# organically fail, so strict mode re-creates the reference's error path:
+# it RAISES on poison documents and the catch routes them to dead letter.
+POISON_PATTERN = "\x00"
 
-def tags_augment(df):
+
+class IndexingError(ValueError):
+    pass
+
+
+def _index_or_raise(texts: pd.Series) -> pd.Series:
+    """The throwing core of strict mode: refuses documents whose text a
+    real parser would die on. Raises IndexingError (the analogue of the
+    Sirocco exception the reference catches per element)."""
+    bad = texts.str.contains(POISON_PATTERN, regex=False)
+    if bad.any():
+        raise IndexingError(
+            f"unparseable document text (NUL byte) in {int(bad.sum())} document(s)"
+        )
+    return _tag_lists(texts)
+
+
+def tags_augment(df, strict: bool = False):
     """winners frame (must carry ``text``) -> same frame + ``Tags`` +
     ``tag_names`` columns, computed in one narrow Arrow pass (the fused
-    replacement for extract_tags + join-back)."""
+    replacement for extract_tags + join-back).
+
+    ``strict=True`` adds an ``_index_error`` column: the NLP stage raises
+    IndexingError on unparseable (poison) documents; the per-sub-batch
+    catch records the exception message on those rows instead of failing
+    the job — the vectorized equivalent of the reference's per-element
+    try/catch with a dead-letter side output
+    (IndexerPipeline.java:307-324). Rows with ``_index_error`` set carry
+    empty tags and are routed out of every fan-out by the caller."""
     from pyspark.sql.types import ArrayType, StringType, StructField, StructType
     from pyspark.sql.types import _parse_datatype_string
 
-    out_schema = StructType(
-        list(df.schema.fields)
-        + [
-            StructField("Tags", _parse_datatype_string(TAGS_FIELD_DDL)),
-            StructField("tag_names", ArrayType(StringType())),
-        ]
-    )
+    extra = [
+        StructField("Tags", _parse_datatype_string(TAGS_FIELD_DDL)),
+        StructField("tag_names", ArrayType(StringType())),
+    ]
+    if strict:
+        extra.append(StructField("_index_error", StringType()))
+    out_schema = StructType(list(df.schema.fields) + extra)
     cols = [f.name for f in df.schema.fields]
 
     def fn(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = pdf[cols].copy()
-            tags = _tag_lists(pdf["text"])
+            if not strict:
+                tags = _tag_lists(pdf["text"])
+                out["Tags"] = tags
+                out["tag_names"] = tags.apply(lambda v: [t[0] for t in v])
+                yield out
+                continue
+            texts = pdf["text"].fillna("")
+            errors = pd.Series([None] * len(pdf), index=pdf.index, dtype=object)
+            try:
+                tags = _index_or_raise(texts)
+            except IndexingError:
+                # split and retry the clean subset; record the exception
+                # message (re-raised per poison sub-batch so the error
+                # path truly executes) on the failed rows
+                bad_mask = texts.str.contains(POISON_PATTERN, regex=False)
+                tags = pd.Series([[] for _ in range(len(pdf))], index=pdf.index)
+                ok_idx = pdf.index[~bad_mask]
+                if len(ok_idx):
+                    tags.loc[ok_idx] = _index_or_raise(texts.loc[ok_idx])
+                for i in pdf.index[bad_mask]:
+                    try:
+                        _index_or_raise(texts.loc[[i]])
+                    except IndexingError as e:
+                        errors.loc[i] = str(e)
             out["Tags"] = tags
             out["tag_names"] = tags.apply(lambda v: [t[0] for t in v])
+            out["_index_error"] = errors
             yield out
 
     return df.mapInPandas(fn, out_schema)

@@ -72,6 +72,9 @@ class IndexerOutputs:
     # diagnostics
     input_content: DataFrame
     winners: DataFrame
+    # K2: docs the NLP stage failed on (strict_scoring=True), shaped like
+    # schemas.DEAD_LETTER minus batch_id; None when strict mode is off
+    dead_letter: DataFrame | None = None
 
 
 def build_indexer(
@@ -80,10 +83,11 @@ def build_indexer(
     soft_dedupe_enabled: bool = True,
     persist: bool = False,
     enrich_ratio: float = 0.0,
+    strict_scoring: bool = False,
 ) -> IndexerOutputs:
     ic = ingest.derive_input_content(transcripts, processing_time)
     return build_indexer_from_input_content(
-        ic, soft_dedupe_enabled, persist, enrich_ratio
+        ic, soft_dedupe_enabled, persist, enrich_ratio, strict_scoring
     )
 
 
@@ -92,6 +96,7 @@ def build_indexer_from_input_content(
     soft_dedupe_enabled: bool = True,
     persist: bool = False,
     enrich_ratio: float = 0.0,
+    strict_scoring: bool = False,
 ) -> IndexerOutputs:
     """The pipeline from the InputContent stage on — shared by the
     transcripts path (build_indexer) and the file/CSV/JSON/JDBC connectors
@@ -118,7 +123,21 @@ def build_indexer_from_input_content(
     # tags_sql.extract_tags remains the Catalyst reference implementation
     # (tests assert equivalence); the Arrow pass measured 0.89 scaling
     # efficiency 2->8 cores vs 0.57 for the 3-shuffle SQL pipeline.
-    winners = _pin(scorer.tags_augment(winners), persist)
+    winners = _pin(scorer.tags_augment(winners, strict=strict_scoring), persist)
+
+    dead_letter = None
+    if strict_scoring:
+        # K2/F5: docs the NLP stage raised on leave the pipeline here —
+        # they reach NO output table, only the dead-letter relation
+        # (reference side-output semantics, IndexerPipeline.java:307-324)
+        dead_letter = winners.filter(F.col("_index_error").isNotNull()).select(
+            "conv_id",
+            "turn_idx",
+            F.col("expected_document_hash").alias("document_hash"),
+            F.col("_index_error").alias("error"),
+            F.lit(None).cast("long").alias("batch_id"),
+        )
+        winners = winners.filter(F.col("_index_error").isNull()).drop("_index_error")
 
     if soft_dedupe_enabled:
         # verdict chain sees only NARROW columns (hash, keys, title,
@@ -194,4 +213,5 @@ def build_indexer_from_input_content(
         sentiment=sentiment,
         input_content=ic,
         winners=winners,
+        dead_letter=dead_letter,
     )

@@ -68,6 +68,7 @@ class IndexerSinks:
     document: MergeTable
     sentiment: MergeTable
     content_index: MergeTable
+    dead_letter: MergeTable
     metrics_dir: str
 
     @classmethod
@@ -92,6 +93,12 @@ class IndexerSinks:
                 spark, os.path.join(root, "content_index"),
                 key_cols=["content_hash"], schema=CONTENT_INDEX_SCHEMA,
             ),
+            # K2: docs the NLP stage failed on (IndexerPipeline.java:307-324,
+            # 820-841) — exactly-once like every other sink
+            dead_letter=MergeTable(
+                spark, os.path.join(root, "dead_letter"),
+                key_cols=["document_hash"], schema=schemas.DEAD_LETTER,
+            ),
             metrics_dir=os.path.join(root, "metrics"),
         )
 
@@ -103,6 +110,7 @@ def process_batch(
     processing_time: str = "2024-02-01 00:00:00",
     soft_dedupe_enabled: bool = True,
     enrich_ratio: float = 0.0,
+    strict_scoring: bool = False,
 ) -> dict:
     """One micro-batch of assembled turns -> MERGE commits. Pure function
     of (batch content, sink state); replay-safe via MergeTable.
@@ -169,7 +177,21 @@ def process_batch(
     # FUSED tag stage (same restructure as plans/indexer.py): one narrow
     # Arrow pass appends (Tags, tag_names) to the wide winners — no token
     # shuffles, no doc-sized tag join-back
-    winners = scorer.tags_augment(winners).persist()
+    winners = scorer.tags_augment(winners, strict=strict_scoring).persist()
+
+    n_failed = 0
+    if strict_scoring:
+        # K2/F5 failure routing: docs the NLP stage raised on reach ONLY
+        # the dead-letter sink (reference side-output semantics)
+        failed = winners.filter(F.col("_index_error").isNotNull()).select(
+            "conv_id",
+            "turn_idx",
+            F.col("expected_document_hash").alias("document_hash"),
+            F.col("_index_error").alias("error"),
+            F.lit(int(batch_id)).cast("long").alias("batch_id"),
+        )
+        n_failed = sinks.dead_letter.merge(failed, batch_id)
+        winners = winners.filter(F.col("_index_error").isNull()).drop("_index_error")
 
     if soft_dedupe_enabled:
         verdict_input = winners.select(
@@ -231,7 +253,8 @@ def process_batch(
         soft_winners.unpersist()
     assembled.unpersist()
     return {"batch_id": batch_id, "n_input": n_input, "n_late": n_late,
-            "n_documents": n_docs, "n_sentiments": n_sents}
+            "n_documents": n_docs, "n_sentiments": n_sents,
+            "n_failed": n_failed}
 
 
 def run_indexer_stream(
@@ -244,6 +267,7 @@ def run_indexer_stream(
     processing_time: str = "2024-02-01 00:00:00",
     soft_dedupe_enabled: bool = True,
     enrich_ratio: float = 0.0,
+    strict_scoring: bool = False,
 ):
     """Start the streaming indexer; returns (query, sinks)."""
     sinks = IndexerSinks.create(spark, out_root)
@@ -254,7 +278,7 @@ def run_indexer_stream(
 
     def _fb(df: DataFrame, bid: int):
         process_batch(df, bid, sinks, processing_time, soft_dedupe_enabled,
-                      enrich_ratio)
+                      enrich_ratio, strict_scoring)
 
     q = (
         assembled.writeStream.foreachBatch(_fb)

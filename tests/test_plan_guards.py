@@ -1,0 +1,107 @@
+"""Plan-regression guards: the round-2/3 scale wins (no theta joins, no
+cartesian products, no unbounded broadcasts of growing relations) are
+locked in by string-matching the physical plans. A refactor that turns
+the 8-day range join back into a BETWEEN join (BroadcastNestedLoop), or
+any dedup query back into an all-pairs comparison, turns these red."""
+
+from __future__ import annotations
+
+import contextlib
+import io
+
+import pytest
+from pyspark.sql import functions as F
+
+from tests.conftest import SF_DIR
+
+FORBIDDEN = ("BroadcastNestedLoopJoin", "CartesianProduct")
+
+
+def plan_of(df) -> str:
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        df.explain("formatted")
+    return buf.getvalue()
+
+
+def assert_clean(df, label: str):
+    plan = plan_of(df)
+    for bad in FORBIDDEN:
+        assert bad not in plan, f"{label}: {bad} in physical plan\n{plan[:4000]}"
+
+
+@pytest.fixture(scope="module")
+def indexer_outputs(spark):
+    from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+    from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
+
+    # persist=False: the full logical DAG stays inline, so the explain
+    # covers every stage (checkpointing would hide upstream plans)
+    return build_indexer(derive_transcripts(spark, SF_DIR), persist=False)
+
+
+def test_indexer_plans_clean(indexer_outputs):
+    assert_clean(indexer_outputs.webresource, "webresource")
+    assert_clean(indexer_outputs.document, "document")
+    assert_clean(indexer_outputs.sentiment, "sentiment")
+
+
+def test_indexer_single_wide_exchanges(indexer_outputs):
+    """The wide (text-carrying) rows shuffle exactly twice end to end:
+    the conv_id lag window and the content_hash dedupe window. More
+    exchanges on doc-sized relations means a join-back crept back in."""
+    plan = plan_of(indexer_outputs.document)
+    # soft-dedupe side inputs are explicit broadcasts; the verdict
+    # join-back may broadcast too — but no sort-merge join of two
+    # doc-sized wide relations should exist in the document branch
+    assert plan.count("Exchange hashpartitioning") <= 6, plan[:4000]
+
+
+def test_stats_plans_clean(spark):
+    from dataflow_opinion_analysis_spark.plans import stats
+    from dataflow_opinion_analysis_spark.plans.indexer import build_indexer
+    from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcripts
+
+    out = build_indexer(derive_transcripts(spark, SF_DIR), persist=True)
+    stats.register_views(spark, out.document, out.sentiment, out.webresource)
+    # chain views must exist for later tables' SQL to resolve; the guard
+    # explains the UNMATERIALIZED query for each table so the full join
+    # tree (not a checkpoint leaf) is inspected
+    for name in stats.STATS_ORDER:
+        df = spark.sql(
+            stats.stats_sql(name, stats.GATE_MIN_DOMAIN_DOCS, stats.GATE_MIN_BASIC8)
+        )
+        assert_clean(df, f"stats:{name}")
+        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
+
+
+def test_dedup_and_text_plans_clean(spark):
+    from dataflow_opinion_analysis_spark.operators import dataprep
+
+    for name, fn in (
+        ("dedup_exact", dataprep.dedup_exact),
+        ("dedup_ngram_jaccard", dataprep.dedup_ngram_jaccard),
+        ("dedup_minhash_lsh", dataprep.dedup_minhash_lsh),
+        ("dedup_simhash", dataprep.dedup_simhash),
+    ):
+        assert_clean(fn(spark, SF_DIR), name)
+
+
+def test_ann_lsh_plan_clean(spark):
+    """The ANN path must stay a bucket equi-join (brute-force top-k is the
+    deliberate exception: a bounded 10-row cross join). One BNL is
+    allowed: the single-literal-row `planes` constant relation every
+    vector joins against — a broadcast of one row, scale-free."""
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    plan = plan_of(similarity.similarity_ann_lsh(spark, SF_DIR))
+    assert "CartesianProduct" not in plan
+    # tree lines only (the formatted details section repeats each node);
+    # both allowed BNLs are the 1-row planes constant, one per branch
+    bnl_nodes = [
+        ln for ln in plan.splitlines()
+        if "BroadcastNestedLoopJoin" in ln and ("+-" in ln or ln.startswith("*"))
+    ]
+    assert len(bnl_nodes) <= 2, plan[:4000]
+    # the candidate join itself is a hash equi-join (on the bucket key)
+    assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan

@@ -139,3 +139,43 @@ def test_incremental_timemarker_mode(spark, stats_tables, tmp_path):
     inc = store.read()
     assert {r.SnapshotDateId for r in inc.select("SnapshotDateId").distinct().collect()} <= {vw["T-1"]}
     assert inc.count() == full.filter(F.col("SnapshotDateId") == vw["T-1"]).count()
+
+
+def test_durable_store_chain_equals_in_memory(spark, stats_tables, tmp_path_factory):
+    """Production materialization: build_stats(store_root=...) writes every
+    chained table to partitioned parquet, chains downstream tables off the
+    READ-BACK (the per-table BigQuery-write analogue), and reproduces the
+    in-memory chain exactly."""
+    from dataflow_opinion_analysis_spark.plans import stats
+
+    root = str(tmp_path_factory.mktemp("stats_store"))
+    stored = stats.build_stats(
+        spark,
+        persist=True,
+        domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
+        domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+        checkpoint_facts=False,  # facts already checkpointed by the fixture
+        store_root=root,
+    )
+    import os
+
+    for name in stats.STATS_ORDER:
+        assert os.path.isdir(os.path.join(root, name)), name
+        a = stored[name]
+        b = stats_tables[name]
+        cols = sorted(a.columns)
+        assert cols == sorted(b.columns), name
+        # order-insensitive frame equality on stringified rows
+        sa = sorted(a.select(*cols).toPandas().astype(str).apply("|".join, axis=1))
+        sb = sorted(b.select(*cols).toPandas().astype(str).apply("|".join, axis=1))
+        assert sa == sb, f"{name}: stored chain != in-memory chain"
+    # daily tables use the SnapshotDateId partition layout shared with
+    # stats_incremental.DailyStatsStore
+    assert any(
+        d.startswith("SnapshotDateId=")
+        for d in os.listdir(os.path.join(root, "stattopic"))
+    )
+    # rebuild the in-memory views so later tests in this module see the
+    # fixture's tables, not the store read-backs
+    for name, df in stats_tables.items():
+        df.createOrReplaceTempView(name)

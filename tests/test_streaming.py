@@ -249,3 +249,61 @@ def test_stream_matches_batch_enriched(spark, tmp_path):
     joined = ";".join(b["tags_str"])
     assert "cnlp::Apache Spark" in joined
     assert "cnlp::" in joined
+
+
+def test_dead_letter_routing(spark, tmp_path):
+    """K2/F5: strict mode raises inside the NLP stage on poison documents
+    (NUL byte) and routes exactly those to the dead-letter sink; every
+    other table excludes them; replaying the batch is a no-op."""
+    from dataflow_opinion_analysis_spark.functions.scorer import POISON_PATTERN
+
+    path = str(tmp_path / "t")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for i in range(6):
+        txt = f"turn {i} is great and shows delight step{i}"
+        if i in (2, 4):
+            txt = f"corrupt {POISON_PATTERN} payload step{i}"
+        rows.append(("c1", i, ["user", "assistant"][i % 2], txt, None,
+                     (base + pd.Timedelta(minutes=i)).to_pydatetime()))
+    spark.createDataFrame(
+        rows,
+        "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp",
+    ).coalesce(1).write.mode("overwrite").parquet(path)
+
+    # batch mode
+    out = build_indexer(spark.read.parquet(path), persist=True,
+                        soft_dedupe_enabled=False, strict_scoring=True)
+    dl = out.dead_letter.toPandas().sort_values("turn_idx")
+    assert list(dl["turn_idx"]) == [2, 4]
+    assert all("NUL byte" in e for e in dl["error"])
+    docs = out.document.toPandas()
+    assert len(docs) == 4
+    assert not docs["Text"].str.contains(POISON_PATTERN, regex=False).any()
+    assert out.sentiment.filter(
+        F.col("Text").contains(POISON_PATTERN)).count() == 0
+    # failed docs reach no webresource row either (dead letter only)
+    assert out.webresource.count() == 4
+
+    # streaming mode: same routing through the MergeTable sink
+    _append_flush(spark, path)
+    q, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=10,
+        soft_dedupe_enabled=False, strict_scoring=True,
+    )
+    q.processAllAvailable()
+    _append_flush(spark, path, "2030-01-01 01:00:00", turn_idx=1)
+    q.processAllAvailable()
+    q.stop()
+    sdl = sinks.dead_letter.read().toPandas().sort_values("turn_idx")
+    assert list(sdl["turn_idx"]) == [2, 4]
+    assert sinks.document.read().filter(
+        F.col("Text").contains(POISON_PATTERN)).count() == 0
+    # replay idempotence: merging the same batch again writes nothing
+    first = sinks.dead_letter.read().count()
+    import dataflow_opinion_analysis_spark.streaming.pipeline as sp
+    dummy = sinks.dead_letter.read().limit(1)
+    committed = sinks.dead_letter.current_snapshot()["batch_ids"][0]
+    assert sinks.dead_letter.merge(dummy, committed) == 0
+    assert sinks.dead_letter.read().count() == first
