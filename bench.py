@@ -48,6 +48,10 @@ def main() -> int:
             print(f"bench: {name} failed: {e}", file=sys.stderr)
             timings[name] = -1.0
 
+    # release the registry's checkpointed pipeline outputs before the
+    # headline run so the two phases don't compete for storage memory
+    entry_queries.clear_cache(spark)
+
     # headline: end-to-end indexer throughput on generated transcripts
     data = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{BENCH_TURNS}")
     if not os.path.exists(os.path.join(data, "part-0000.parquet")):

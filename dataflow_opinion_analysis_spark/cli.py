@@ -86,9 +86,14 @@ def cmd_statscalc(args) -> int:
     sentiment = spark.read.parquet(f"{args.warehouse}/sentiment")
     webresource = spark.read.parquet(f"{args.warehouse}/webresource")
     stats.register_views(spark, document, sentiment, webresource)
+    social = (
+        spark.read.parquet(args.social_counts) if args.social_counts else None
+    )
     # durable chaining: each table is written to the warehouse and the
     # read-back feeds the next table (reference per-table BigQuery writes)
-    for name in stats.build_stats(spark, store_root=args.warehouse):
+    for name in stats.build_stats(
+        spark, store_root=args.warehouse, social_counts=social
+    ):
         print(f"wrote {name}")
     spark.stop()
     return 0
@@ -137,6 +142,9 @@ def main(argv: list[str] | None = None) -> int:
 
     p = sub.add_parser("statscalc")
     p.add_argument("--warehouse", required=True)
+    # SocialStatsPipeline seam: parquet of real social counts; default
+    # derives deterministic counts from WebResourceHash
+    p.add_argument("--social-counts", default=None)
     p.set_defaults(fn=cmd_statscalc)
 
     p = sub.add_parser("datagen")

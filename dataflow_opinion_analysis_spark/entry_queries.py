@@ -22,21 +22,34 @@ from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcrip
 _OUTPUTS_CACHE: dict[tuple, object] = {}
 
 
-def clear_cache() -> None:
+def clear_cache(spark: SparkSession | None = None) -> None:
     """Release cached/checkpointed pipeline outputs (long-lived sessions:
-    call between sf_dirs; the driver's one-shot runs never need to)."""
-    from dataflow_opinion_analysis_spark.plans.indexer import IndexerOutputs
+    call between sf_dirs; the driver's one-shot runs never need to).
 
-    for v in _OUTPUTS_CACHE.values():
-        try:
-            if isinstance(v, IndexerOutputs):
-                v.winners.unpersist()
-            elif isinstance(v, dict):
-                for df in v.values():
-                    df.unpersist()
-        except Exception:
-            pass
+    The memoized outputs are eager localCheckpoints, whose blocks live in
+    persistent RDDs OUTSIDE the SQL cache manager — DataFrame.unpersist()
+    is a no-op on them. Releasing for real means unpersisting the
+    SparkContext's persistent RDDs (checkpoint blocks are exactly the
+    RDDs pinned there once the memo dict no longer references them)."""
+    if spark is None:
+        for v in _OUTPUTS_CACHE.values():
+            if hasattr(v, "winners"):
+                spark = v.winners.sparkSession
+                break
+            if isinstance(v, dict) and v:
+                spark = next(iter(v.values())).sparkSession
+                break
     _OUTPUTS_CACHE.clear()
+    if spark is None:
+        return
+    try:
+        spark.catalog.clearCache()
+        jmap = spark.sparkContext._jsc.getPersistentRDDs()
+        for jrdd in list(jmap.values()):
+            jrdd.unpersist()
+    except Exception:
+        # releasing is best-effort; blocks fall back to ContextCleaner GC
+        pass
 
 
 def _outputs(spark: SparkSession, sf_dir: str):

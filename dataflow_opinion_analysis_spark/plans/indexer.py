@@ -111,10 +111,19 @@ def build_indexer_from_input_content(
     batch / 1.0 streaming (IndexerPipelineUtils.java:395-398); this repo
     defaults to 0.0 so the enrichment-free goldens stay byte-stable —
     pass the reference value explicitly (cli.py exposes --enrich-ratio)."""
+    import os as _os
+
     to_index, skipped = ingest.split_skip_indexing(ic)
     # ONE checkpoint of the ranked frame serves both the winners chain and
-    # the exact-dupes webresource branch (no second scan + window)
-    ranked = _pin(dedupe.exact_dedupe_ranked(to_index), persist)
+    # the exact-dupes webresource branch (no second scan + window).
+    # SPARK_GRAFT_NO_RANKED_CKPT=1 skips it — A/B on the 2M-turn scaling
+    # input measured the skip WORSE (49.3s vs 37.6s steady at local[8]):
+    # re-running the scan+hash+window chain for the dupes branch costs
+    # more than the one full-corpus block write+read. Keep the ckpt.
+    ranked = _pin(
+        dedupe.exact_dedupe_ranked(to_index),
+        persist and not _os.environ.get("SPARK_GRAFT_NO_RANKED_CKPT"),
+    )
     winners = ranked.filter(F.col("_rn") == 1).drop("_rn", "winner_document_hash")
     exact_dupes = ranked.filter(F.col("_rn") > 1).drop("_rn")
 

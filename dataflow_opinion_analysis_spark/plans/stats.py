@@ -583,31 +583,70 @@ FROM stattoptopic7d
 }
 
 
+# daily-snapshot tables live partitioned by SnapshotDateId in the store
+# (same layout as stats_incremental.DailyStatsStore, so the per-day
+# DELETE+INSERT maintenance path and the backfill path share one home)
+_PARTITIONED = {"stattopic", "statstoryimpact"}
+
+
 def build_stats(
     spark: SparkSession,
     persist: bool = True,
     domainopinions_min_docs: int = MIN_DOMAIN_DOCS,
     domainopinions_min_basic8: float = MIN_BASIC8,
     checkpoint_facts: bool = True,
+    store_root: str | None = None,
+    social_counts: DataFrame | None = None,
 ) -> dict[str, DataFrame]:
     """Materialize the whole chain in dependency order
     (StatsCalcPipeline.java:73-83's hardcoded table order).
 
-    Each table is EAGERLY materialized (localCheckpoint) and registered
-    as a view, exactly like the reference writing each stats table to
-    BigQuery before the next reads it. Without the checkpoint the chained
-    views re-expand their predecessors' logical plans multiplicatively
+    Each table is EAGERLY materialized and registered as a view, exactly
+    like the reference writing each stats table to BigQuery before the
+    next reads it. Without a materialization barrier the chained views
+    re-expand their predecessors' logical plans multiplicatively
     (stattopstory7d would inline the whole indexer DAG dozens of times)
     and Catalyst analysis time explodes; with it every stats query reads
     leaf relations. The fact views are checkpointed once for the same
-    reason."""
+    reason.
+
+    ``store_root=None`` (gate/bench mode) materializes via eager
+    localCheckpoint — fast, but executor-local and non-replicated.
+    ``store_root=<dir>`` is the PRODUCTION path: every chained table is
+    written to durable partitioned parquet and the read-back is what
+    downstream tables consume, so an executor loss can only re-run one
+    table, never the whole chain (the direct analogue of the reference's
+    per-table BigQuery writes; daily tables are partitioned by
+    SnapshotDateId so stats_incremental's per-day DELETE+INSERT shares
+    the layout).
+
+    ``social_counts``: injectable wrsocialcount relation — the
+    SocialStatsPipeline seam. The reference fetches Facebook counts in a
+    separate pipeline and the stats job just reads the table; ``None``
+    uses the deterministic hash-derived stand-in (WRSOCIALCOUNT_SQL, the
+    gate default), or pass any DataFrame with the wrsocialcount schema
+    (WebResourceHash, WrPublicationDateId, CountTime,
+    DocumentCollectionId, CollectionItemId, FbCount, TwCount) to drop in
+    real counts."""
     if checkpoint_facts:
         for fact in ("document", "sentiment", "webresource"):
             spark.table(fact).localCheckpoint(eager=True).createOrReplaceTempView(fact)
     out: dict[str, DataFrame] = {}
     for name in STATS_ORDER:
-        df = spark.sql(stats_sql(name, domainopinions_min_docs, domainopinions_min_basic8))
-        if persist:
+        if name == "wrsocialcount" and social_counts is not None:
+            df = social_counts
+        else:
+            df = spark.sql(
+                stats_sql(name, domainopinions_min_docs, domainopinions_min_basic8)
+            )
+        if store_root is not None:
+            path = f"{store_root}/{name}"
+            w = df.write.mode("overwrite")
+            if name in _PARTITIONED:
+                w = w.partitionBy("SnapshotDateId")
+            w.parquet(path)
+            df = spark.read.parquet(path)
+        elif persist:
             df = df.localCheckpoint(eager=True)
         df.createOrReplaceTempView(name)
         out[name] = df

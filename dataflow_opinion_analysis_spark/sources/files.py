@@ -223,16 +223,39 @@ def read_rs_delimited(spark: SparkSession, path: str, line_sep: str = RS) -> Dat
 # ---------------------------------------------------------------------------
 
 
+_JDBC_DATE_RE = None
+
+
+def _validate_sql_date(value: str, name: str) -> str:
+    """Strict 'YYYY-MM-DD[ HH:MM:SS]' check before interpolation into the
+    generated JDBC SQL — the reference interpolates caller strings
+    verbatim (IndexerPipelineUtils.java:160-193), which is SQL injection
+    if the dates ever come from untrusted input."""
+    global _JDBC_DATE_RE
+    if _JDBC_DATE_RE is None:
+        import re
+
+        _JDBC_DATE_RE = re.compile(
+            r"^\d{4}-\d{2}-\d{2}( \d{2}:\d{2}:\d{2})?$"
+        )
+    if not _JDBC_DATE_RE.match(value):
+        raise ValueError(
+            f"{name} must be 'YYYY-MM-DD' or 'YYYY-MM-DD HH:MM:SS', got {value!r}"
+        )
+    return value
+
+
 def build_jdbc_import_query(from_date: str | None = None, to_date: str | None = None) -> str:
     """The reference's generated page-import SQL
     (IndexerPipelineUtils.java:160-193), in portable SQL: url, pub_time,
     title, author, language, page_text, doc_col_id '01', col_item_id,
-    skip_indexing, windowed on pub_at."""
+    skip_indexing, windowed on pub_at. Dates are validated against a
+    strict timestamp format before interpolation."""
     window = ""
     if from_date:
-        window += f" AND pages.pub_at >= '{from_date}'"
+        window += f" AND pages.pub_at >= '{_validate_sql_date(from_date, 'from_date')}'"
     if to_date:
-        window += f" AND pages.pub_at <= '{to_date}'"
+        window += f" AND pages.pub_at <= '{_validate_sql_date(to_date, 'to_date')}'"
     return (
         "SELECT pages.url AS url, pages.pub_at AS pub_time, "
         "pages.title AS title, pages.author AS author, 'EN' AS language, "

@@ -45,6 +45,17 @@ JACCARD_THRESHOLD = 0.5
 MAX_FPRINTS = 256
 P = 2147483647
 
+# STATE FORMAT VERSION — bump whenever the signature function changes
+# (shingle hash, K, SHINGLE_N, P). Signatures persisted in streaming
+# checkpoints or the fingerprint store are only comparable to new ones if
+# produced by the same version; on mismatch, DROP the old state (a stale
+# signature silently never matches, which degrades recall without
+# erroring). v2 = pd.util.hash_array shingle hashing (v1 was sha256) —
+# note pandas does not contractually pin hash_array across major
+# versions, so long-lived deployments should also record the pandas
+# version beside the state.
+SIG_VERSION = 2
+
 _A = (2 * np.arange(K, dtype=np.int64) + 1).reshape(1, K)
 _B = (np.arange(K, dtype=np.int64) ** 2 + 7).reshape(1, K)
 
@@ -115,6 +126,88 @@ def minhash_signature(text: str) -> np.ndarray:
     return batch_signatures(pd.Series([text]))[0]
 
 
+# decision-pass row block: peak comparison memory is
+# O(DECISION_BLOCK * (state + admitted) * K) bools instead of the
+# b^2 * K a whole-batch broadcast would allocate (a 10k-row Arrow chunk
+# against itself is ~3.2 GB transient; blocked it stays < ~200 MB even on
+# the hot 'No Title' key)
+DECISION_BLOCK = 512
+
+
+def decide_group(
+    batch_sigs: np.ndarray,
+    doc_hashes: np.ndarray,
+    state_sigs: np.ndarray,
+    state_hashes: list,
+    last_seen: list,
+    clock: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray, list[int]]:
+    """The admit-vs-dupe decision for one soft-key group, shared by the
+    applyInPandasWithState operator and the durable fingerprint-store
+    path. Sequential by construction (an admitted row becomes a candidate
+    winner for later rows) but all similarity math is block-vectorized:
+    each DECISION_BLOCK rows compare against (stored state + previously
+    admitted batch rows) in one broadcast and against each other in one
+    (block x block) broadcast.
+
+    Returns (is_dupe, winner, est_jaccard, new_idx); mutates last_seen
+    in place for LRU. Ties between a stored-state match and an
+    earlier-batch match resolve to stored state (older wins)."""
+    b = len(doc_hashes)
+    is_dupe = np.zeros(b, dtype=bool)
+    winner = np.empty(b, dtype=object)
+    est = np.zeros(b, dtype=np.float64)
+    new_idx: list[int] = []
+    n_state = state_sigs.shape[0]
+
+    for s0 in range(0, b, DECISION_BLOCK):
+        s1 = min(s0 + DECISION_BLOCK, b)
+        bs = batch_sigs[s0:s1]
+        nb = s1 - s0
+        if n_state:
+            sim_state = (bs[:, None, :] == state_sigs[None, :, :]).mean(axis=2)
+        else:
+            sim_state = np.zeros((nb, 0))
+        # earlier-batch admits from previous blocks (ascending row order)
+        prev_adm = [i for i in new_idx if i < s0]
+        if prev_adm:
+            adm_sigs = batch_sigs[prev_adm]
+            sim_prev = (bs[:, None, :] == adm_sigs[None, :, :]).mean(axis=2)
+        else:
+            sim_prev = np.zeros((nb, 0))
+        sim_intra = (bs[:, None, :] == bs[None, :, :]).mean(axis=2)
+        adm_blk = np.zeros(nb, dtype=bool)
+        for r in range(nb):
+            i = s0 + r
+            best_s = float(sim_state[r].max()) if n_state else 0.0
+            # batch-prior sims in ORIGINAL row order: earlier blocks'
+            # admits first, then intra-block admitted rows before r
+            intra = sim_intra[r, :r] * adm_blk[:r]
+            if sim_prev.shape[1] or r:
+                row_prior = np.concatenate([sim_prev[r], intra])
+                best_b = float(row_prior.max()) if row_prior.size else 0.0
+            else:
+                row_prior = np.zeros(0)
+                best_b = 0.0
+            best = max(best_s, best_b)
+            est[i] = best
+            if best >= JACCARD_THRESHOLD:
+                is_dupe[i] = True
+                if best_s >= best_b:  # ties resolve to stored state (older)
+                    j = int(sim_state[r].argmax())
+                    winner[i] = state_hashes[j]
+                    last_seen[j] = clock
+                else:
+                    k = int(row_prior.argmax())
+                    src = prev_adm[k] if k < len(prev_adm) else s0 + (k - len(prev_adm))
+                    winner[i] = doc_hashes[src]
+            else:
+                adm_blk[r] = True
+                winner[i] = doc_hashes[i]
+                new_idx.append(i)
+    return is_dupe, winner, est, new_idx
+
+
 def dedupe_state_fn(
     key: tuple, pdfs: Iterator[pd.DataFrame], state: GroupState
 ) -> Iterator[pd.DataFrame]:
@@ -135,43 +228,11 @@ def dedupe_state_fn(
         for pdf in pdfs:
             if not len(pdf):
                 continue
-            b = len(pdf)
             batch_sigs = batch_signatures(pdf["text"].reset_index(drop=True))
             doc_hashes = pdf["document_hash"].to_numpy(dtype=object)
-            # all similarity math up front, two broadcast equality-means:
-            # batch x stored-state and batch x batch (earlier-row winners)
-            if sigs.shape[0]:
-                sim_state = (batch_sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
-            else:
-                sim_state = np.zeros((b, 0))
-            sim_batch = (batch_sigs[:, None, :] == batch_sigs[None, :, :]).mean(axis=2)
-            # decision pass: sequential by construction (an admitted row
-            # becomes a candidate winner for later rows) but does only
-            # O(state + batch) numpy indexing per row — no hashing, no
-            # string work, no pandas calls
-            admitted = np.zeros(b, dtype=bool)
-            is_dupe = np.zeros(b, dtype=bool)
-            winner = np.empty(b, dtype=object)
-            est = np.zeros(b, dtype=np.float64)
-            new_idx: list[int] = []
-            for i in range(b):
-                best_s = float(sim_state[i].max()) if sim_state.shape[1] else 0.0
-                row_prior = sim_batch[i, :i] * admitted[:i]
-                best_b = float(row_prior.max()) if i else 0.0
-                best = max(best_s, best_b)
-                est[i] = best
-                if best >= JACCARD_THRESHOLD:
-                    is_dupe[i] = True
-                    if best_s >= best_b:  # ties resolve to stored state (older)
-                        j = int(sim_state[i].argmax())
-                        winner[i] = hashes[j]
-                        last_seen[j] = clock
-                    else:
-                        winner[i] = doc_hashes[int(row_prior.argmax())]
-                else:
-                    admitted[i] = True
-                    winner[i] = doc_hashes[i]
-                    new_idx.append(i)
+            is_dupe, winner, est, new_idx = decide_group(
+                batch_sigs, doc_hashes, sigs, hashes, last_seen, clock
+            )
             if new_idx:
                 sigs = np.vstack([sigs, batch_sigs[new_idx]])
                 hashes.extend(doc_hashes[new_idx].tolist())
@@ -222,4 +283,128 @@ def stateful_near_dedupe(stream: DataFrame) -> DataFrame:
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+# ---------------------------------------------------------------------------
+# durable fingerprint store — the foreachBatch-composable twin of the
+# applyInPandasWithState operator above. Structured Streaming does not
+# allow two flatMapGroupsWithState-style operators in one query (the
+# thread assembler already is one), so the production pipeline keeps the
+# fingerprint state in an exactly-once MergeTable instead — the same
+# pattern the exact-dedupe content index uses. Restart safety comes from
+# the table, not the state store.
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_SCHEMA = (
+    "soft_title string, len_bucket int, document_hash string, "
+    "sig array<bigint>, sig_version int, store_batch_id long"
+)
+
+VERDICT_OUT_SCHEMA = (
+    "document_hash string, soft_title string, len_bucket int, "
+    "is_dupe boolean, winner_document_hash string, est_jaccard double, "
+    "sig array<bigint>"
+)
+
+
+def fingerprint_dedupe_batch(winners, store, batch_id: int):
+    """Cross-batch near-dedupe for one micro-batch: compare the batch's
+    winners against the durable fingerprint store per soft key, admit new
+    fingerprints (insert-if-absent MERGE, replay-safe), and return the
+    verdict frame (document_hash, is_dupe, winner_document_hash,
+    est_jaccard).
+
+    Shapes: the store is semi-joined down to THIS batch's soft keys and
+    recency-capped to MAX_FPRINTS rows per key (LRU analogue) before the
+    cogrouped pandas decision — per-batch memory is O(batch + caps), not
+    O(history). Rows inside a group decide in (conv_id, turn_idx) order,
+    identical to the keyed-state operator (decide_group is shared).
+
+    Scale note: the recency-cap window partitions the STORED relation by
+    the soft key; a years-old store on a hot key should be compacted
+    (keep newest MAX_FPRINTS per key) by a maintenance job so this read
+    stays bounded — eviction is deliberate recall decay, the same trade
+    the in-memory LRU makes."""
+    from pyspark.sql import Window
+
+    from dataflow_opinion_analysis_spark.operators.dedupe import with_soft_key
+
+    keys = ["soft_title", "len_bucket"]
+    keyed = with_soft_key(winners).select(
+        F.col("expected_document_hash").alias("document_hash"),
+        "soft_title",
+        "len_bucket",
+        "conv_id",
+        "turn_idx",
+        "text",
+    )
+    batch_keys = keyed.select(*keys).distinct()
+    stored = (
+        store.read()
+        .filter(F.col("sig_version") == SIG_VERSION)
+        .join(batch_keys, keys, "left_semi")
+    )
+    w = Window.partitionBy(*keys).orderBy(
+        F.desc("store_batch_id"), F.desc("document_hash")
+    )
+    stored = (
+        stored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= MAX_FPRINTS)
+        .drop("_rk")
+    )
+
+    def fn(key: tuple, batch_pdf: pd.DataFrame, state_pdf: pd.DataFrame) -> pd.DataFrame:
+        soft_title, len_bucket = key
+        batch_pdf = batch_pdf.sort_values(["conv_id", "turn_idx"]).reset_index(drop=True)
+        batch_sigs = batch_signatures(batch_pdf["text"])
+        doc_hashes = batch_pdf["document_hash"].to_numpy(dtype=object)
+        if len(state_pdf):
+            st = state_pdf.sort_values(
+                ["store_batch_id", "document_hash"], ascending=[False, False]
+            ).reset_index(drop=True)
+            state_sigs = np.array([list(s) for s in st["sig"]], dtype=np.int64)
+            state_hashes = st["document_hash"].tolist()
+        else:
+            state_sigs = np.zeros((0, K), dtype=np.int64)
+            state_hashes = []
+        last_seen = [0] * len(state_hashes)
+        is_dupe, winner, est, new_idx = decide_group(
+            batch_sigs, doc_hashes, state_sigs, state_hashes, last_seen, 1
+        )
+        new_set = set(new_idx)
+        return pd.DataFrame(
+            {
+                "document_hash": doc_hashes,
+                "soft_title": soft_title,
+                "len_bucket": np.int32(len_bucket),
+                "is_dupe": is_dupe,
+                "winner_document_hash": winner,
+                "est_jaccard": est,
+                "sig": [
+                    batch_sigs[i].tolist() if i in new_set else None
+                    for i in range(len(doc_hashes))
+                ],
+            }
+        )
+
+    verdicts = (
+        keyed.groupBy(*keys)
+        .cogroup(stored.groupBy(*keys))
+        .applyInPandas(fn, VERDICT_OUT_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    store.merge(
+        verdicts.filter(F.col("sig").isNotNull()).select(
+            "soft_title",
+            "len_bucket",
+            "document_hash",
+            "sig",
+            F.lit(SIG_VERSION).alias("sig_version"),
+            F.lit(int(batch_id)).cast("long").alias("store_batch_id"),
+        ),
+        batch_id,
+    )
+    return verdicts.select(
+        "document_hash", "is_dupe", "winner_document_hash", "est_jaccard"
     )

@@ -6,12 +6,18 @@
       -> foreachBatch:
            derive InputContent (stateless columns)
            exact dedupe      (in-batch window + cross-batch anti-join
-                              against the document sink on content_hash —
-                              the sink IS the dedupe state store, so it
-                              survives restarts for free)
-           vectorized scorer (tags + passages)
-           soft dedupe       (in-batch vote rule; cross-batch fingerprint
-                              variant in streaming/dedupe_state.py)
+                              against the durable content index on
+                              content_hash — the table IS the dedupe
+                              state store, so it survives restarts free)
+           fused Arrow NLP   (tags appended in one narrow pass; strict
+                              mode raises on poison docs and routes them
+                              to the dead-letter MergeTable, K2/F5)
+           soft dedupe       (in-batch vote rule, OR cross-batch MinHash
+                              fingerprints in a durable MergeTable via
+                              cross_batch_near_dedupe=True)
+           entity enrichment (enrich_ratio fraction gets cnlp:: tags)
+           fused passage fan-out (doc keys ride the Arrow stage — the
+                              sentiment branch needs no join)
            MERGE into webresource/document/sentiment MergeTables
            (exactly-once: committed batch-ids + key anti-join)
            append late-turn counts to a metrics table
@@ -38,6 +44,7 @@ from pyspark.sql import functions as F
 from dataflow_opinion_analysis_spark import schemas
 from dataflow_opinion_analysis_spark.functions import scorer
 from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
+from dataflow_opinion_analysis_spark.streaming import dedupe_state
 from dataflow_opinion_analysis_spark.sources.transcripts import read_transcripts_stream
 from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
 
@@ -69,6 +76,7 @@ class IndexerSinks:
     sentiment: MergeTable
     content_index: MergeTable
     dead_letter: MergeTable
+    fingerprints: MergeTable
     metrics_dir: str
 
     @classmethod
@@ -99,6 +107,13 @@ class IndexerSinks:
                 spark, os.path.join(root, "dead_letter"),
                 key_cols=["document_hash"], schema=schemas.DEAD_LETTER,
             ),
+            # durable MinHash fingerprint store for cross-batch near-dup
+            # detection (streaming/dedupe_state.fingerprint_dedupe_batch)
+            fingerprints=MergeTable(
+                spark, os.path.join(root, "fingerprints"),
+                key_cols=["document_hash"],
+                schema=dedupe_state.FINGERPRINT_SCHEMA,
+            ),
             metrics_dir=os.path.join(root, "metrics"),
         )
 
@@ -111,6 +126,7 @@ def process_batch(
     soft_dedupe_enabled: bool = True,
     enrich_ratio: float = 0.0,
     strict_scoring: bool = False,
+    cross_batch_near_dedupe: bool = False,
 ) -> dict:
     """One micro-batch of assembled turns -> MERGE commits. Pure function
     of (batch content, sink state); replay-safe via MergeTable.
@@ -194,13 +210,24 @@ def process_batch(
         winners = winners.filter(F.col("_index_error").isNull()).drop("_index_error")
 
     if soft_dedupe_enabled:
-        verdict_input = winners.select(
-            "expected_document_hash", "conv_id", "turn_idx", "title",
-            F.length("text").alias("text_len"), "tag_names",
-        )
-        # only the dupe subset joins back (small side, broadcastable) —
-        # everything absent from it is trivially is_dupe=false
-        dupe_verdicts = dedupe.soft_dedupe(verdict_input).filter(F.col("is_dupe"))
+        if cross_batch_near_dedupe:
+            # MinHash fingerprint semantics (in-batch sequential admit +
+            # durable cross-batch store) instead of the whole-batch vote
+            # rule — catches a near-dup arriving micro-batches later,
+            # which the per-batch vote rule cannot
+            dupe_verdicts = dedupe_state.fingerprint_dedupe_batch(
+                winners, sinks.fingerprints, batch_id
+            ).filter(F.col("is_dupe")).select(
+                F.col("document_hash"), "is_dupe", "winner_document_hash"
+            )
+        else:
+            verdict_input = winners.select(
+                "expected_document_hash", "conv_id", "turn_idx", "title",
+                F.length("text").alias("text_len"), "tag_names",
+            )
+            # only the dupe subset joins back (small side, broadcastable) —
+            # everything absent from it is trivially is_dupe=false
+            dupe_verdicts = dedupe.soft_dedupe(verdict_input).filter(F.col("is_dupe"))
         routed2 = winners.join(
             dupe_verdicts.select(
                 F.col("document_hash").alias("expected_document_hash"),
@@ -268,6 +295,7 @@ def run_indexer_stream(
     soft_dedupe_enabled: bool = True,
     enrich_ratio: float = 0.0,
     strict_scoring: bool = False,
+    cross_batch_near_dedupe: bool = False,
 ):
     """Start the streaming indexer; returns (query, sinks)."""
     sinks = IndexerSinks.create(spark, out_root)
@@ -278,7 +306,7 @@ def run_indexer_stream(
 
     def _fb(df: DataFrame, bid: int):
         process_batch(df, bid, sinks, processing_time, soft_dedupe_enabled,
-                      enrich_ratio, strict_scoring)
+                      enrich_ratio, strict_scoring, cross_batch_near_dedupe)
 
     q = (
         assembled.writeStream.foreachBatch(_fb)

@@ -156,3 +156,18 @@ def test_k3_k4_writes_roundtrip(spark, tmp_path):
     back = spark.read.csv(str(tmp_path / "csv"), header=True)
     assert back.count() == sent.count()
     assert "SentimentHash" in back.columns and "Signals" in back.columns
+
+
+def test_jdbc_date_validation():
+    """Window dates are validated before interpolation into the generated
+    JDBC SQL (injection guard)."""
+    from dataflow_opinion_analysis_spark.sources.files import build_jdbc_import_query
+
+    q = build_jdbc_import_query("2024-01-01", "2024-02-01 23:59:59")
+    assert "pub_at >= '2024-01-01'" in q
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        build_jdbc_import_query("2024-01-01'; DROP TABLE pages; --")
+    with _pytest.raises(ValueError):
+        build_jdbc_import_query(to_date="not-a-date")

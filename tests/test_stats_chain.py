@@ -179,3 +179,48 @@ def test_durable_store_chain_equals_in_memory(spark, stats_tables, tmp_path_fact
     # fixture's tables, not the store read-backs
     for name, df in stats_tables.items():
         df.createOrReplaceTempView(name)
+
+
+def test_social_counts_seam(spark, stats_tables, tmp_path_factory):
+    """wrsocialcount is injectable (the SocialStatsPipeline seam): feeding
+    the chain a parquet table of counts reproduces the derived-mode chain
+    when the table holds the same rows, and the injected relation is what
+    downstream tables actually read."""
+    from dataflow_opinion_analysis_spark.plans import stats
+
+    root = str(tmp_path_factory.mktemp("social"))
+    path = f"{root}/wrsocialcount.parquet"
+    stats_tables["wrsocialcount"].write.mode("overwrite").parquet(path)
+
+    injected = stats.build_stats(
+        spark,
+        persist=True,
+        domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
+        domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+        checkpoint_facts=False,
+        social_counts=spark.read.parquet(path),
+    )
+    for name in ("wrsocialcount", "statstoryimpact", "statstoryrank"):
+        cols = sorted(injected[name].columns)
+        a = sorted(injected[name].select(*cols).toPandas().astype(str).apply("|".join, axis=1))
+        b = sorted(stats_tables[name].select(*cols).toPandas().astype(str).apply("|".join, axis=1))
+        assert a == b, name
+
+    # a DIFFERENT injected table visibly changes the chain (proves the
+    # seam is real, not a re-derivation)
+    doubled = spark.read.parquet(path).withColumn(
+        "FbCount", (F.col("FbCount") * 2).cast("int")
+    )
+    injected2 = stats.build_stats(
+        spark,
+        persist=True,
+        domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
+        domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+        checkpoint_facts=False,
+        social_counts=doubled,
+    )
+    a2 = injected2["statstoryrank"].agg(F.sum("cntFb")).collect()[0][0]
+    b2 = stats_tables["statstoryrank"].agg(F.sum("cntFb")).collect()[0][0]
+    assert a2 == 2 * b2
+    for name, df in stats_tables.items():
+        df.createOrReplaceTempView(name)

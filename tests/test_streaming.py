@@ -307,3 +307,59 @@ def test_dead_letter_routing(spark, tmp_path):
     committed = sinks.dead_letter.current_snapshot()["batch_ids"][0]
     assert sinks.dead_letter.merge(dummy, committed) == 0
     assert sinks.dead_letter.read().count() == first
+
+
+def test_cross_batch_near_dup_caught(spark, tmp_path):
+    """A near-duplicate arriving two micro-batches after the original is
+    caught by the durable fingerprint store (cross_batch_near_dedupe=True)
+    and re-pointed to the original winner; the in-batch vote rule alone
+    cannot see it. Replaying the store's batch is a no-op."""
+    schema = "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    base_txt = ("the quick brown fox jumps over the lazy dog while the band "
+                "plays a merry tune in the town square tonight")
+    near_txt = ("the quick brown fox jumps over the lazy dog while the band "
+                "plays a merry tune in the city square tonight")
+    path = str(tmp_path / "t")
+    t0 = pd.Timestamp("2024-01-01 00:00:00")
+
+    # micro-batch 1: original doc; batch 2: unrelated; batch 3: near-dup
+    for i, (cid, txt) in enumerate([
+        ("c1", base_txt),
+        ("c2", "completely different words about gardens and rivers flowing calmly"),
+        ("c3", near_txt),
+    ]):
+        spark.createDataFrame(
+            [(cid, 1, "assistant", txt, None, (t0 + pd.Timedelta(minutes=i)).to_pydatetime())],
+            schema,
+        ).coalesce(1).write.mode("append").parquet(path)
+    _append_flush(spark, path)
+
+    q, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=1,
+        soft_dedupe_enabled=True, cross_batch_near_dedupe=True,
+    )
+    q.processAllAvailable()
+    _append_flush(spark, path, "2030-01-01 01:00:00", turn_idx=1)
+    q.processAllAvailable()
+    q.stop()
+
+    docs = _no_flush(sinks.document.read()).toPandas()
+    wr = _no_flush(sinks.webresource.read(), "CollectionItemId").toPandas()
+    # the near-dup produced NO document row...
+    assert not docs["Text"].str.contains("city square").any()
+    assert docs["Text"].str.contains("town square").any()
+    # ...but its webresource row exists, re-pointed to the original winner
+    orig_hash = docs.loc[docs["Text"].str.contains("town square"), "DocumentHash"].iloc[0]
+    near_wr = wr[wr["CollectionItemId"] == "c3:1"]
+    assert len(near_wr) == 1
+    assert near_wr["DocumentHash"].iloc[0] == orig_hash
+    # fingerprint store holds the admitted (non-dupe) docs only
+    fp = sinks.fingerprints.read().toPandas()
+    assert orig_hash in set(fp["document_hash"])
+    # the near-dup itself was NOT admitted (dupes never store fingerprints)
+    all_doc_hashes = set(sinks.document.read().toPandas()["DocumentHash"])
+    assert set(fp["document_hash"]) <= all_doc_hashes
+    # replay idempotence on the fingerprint store
+    committed = sinks.fingerprints.current_snapshot()["batch_ids"][0]
+    assert sinks.fingerprints.merge(sinks.fingerprints.read().limit(1), committed) == 0
