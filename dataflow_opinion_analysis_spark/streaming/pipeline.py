@@ -78,6 +78,8 @@ class IndexerSinks:
     dead_letter: MergeTable
     fingerprints: MergeTable
     metrics_dir: str
+    # attached by run_indexer_stream when metrics_listener=True
+    query_metrics: object | None = None
 
     @classmethod
     def create(cls, spark: SparkSession, root: str) -> "IndexerSinks":
@@ -296,9 +298,22 @@ def run_indexer_stream(
     enrich_ratio: float = 0.0,
     strict_scoring: bool = False,
     cross_batch_near_dedupe: bool = False,
+    metrics_listener: bool = True,
 ):
-    """Start the streaming indexer; returns (query, sinks)."""
+    """Start the streaming indexer; returns (query, sinks).
+
+    ``metrics_listener=True`` (default) attaches the throughput /
+    watermark-lag listener (streaming/metrics.py): every micro-batch's
+    processedRowsPerSecond, duration, watermark and lag is appended to
+    ``<out_root>/query_metrics.jsonl``; the listener object is exposed as
+    ``sinks.query_metrics`` for ``summary()``."""
     sinks = IndexerSinks.create(spark, out_root)
+    if metrics_listener:
+        from dataflow_opinion_analysis_spark.streaming import metrics as _metrics
+
+        sinks.query_metrics = _metrics.attach(
+            spark, os.path.join(out_root, "query_metrics.jsonl")
+        )
     stream = read_transcripts_stream(spark, input_path, max_files_per_trigger)
     from dataflow_opinion_analysis_spark.streaming.threads import assemble_threads
 

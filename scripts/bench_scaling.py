@@ -293,16 +293,21 @@ def write_md(result: dict) -> None:
         )
     lines += [
         "",
-        "Methodology: each side runs the full indexer job twice in one",
-        "session; the second (steady-state) iteration is the measured",
-        "window — the north-rule metric is sustained streaming throughput,",
-        "and JIT / Python-worker-pool / allocator ramp are one-time",
-        "cluster-startup costs a continuously-running engine amortizes to",
-        "zero. Cold-run numbers are reported beside it. Pairs run",
-        "back-to-back with alternating order so host noise hits both",
-        "sides; each run is a fresh subprocess/JVM; a 32-process spin",
-        "probe brackets each pair and pairs with >25% probe drift are",
-        "excluded from the median (flagged above).",
+        "Methodology: each side runs the full indexer job three times in",
+        "one session; the steady wall is the MIN of the two post-warm-up",
+        "iterations, applied symmetrically to both sides (a co-tenant",
+        "arriving during one iteration inflates that iteration only) — the",
+        "north-rule metric is sustained streaming throughput, and JIT /",
+        "Python-worker-pool / allocator ramp are one-time cluster-startup",
+        "costs a continuously-running engine amortizes to zero. Cold",
+        "first-run numbers are reported beside it. Pairs run back-to-back",
+        "with alternating order so host noise hits both sides; each run is",
+        "a fresh subprocess/JVM that first waits for a quiet host window;",
+        "a 32-process spin probe BRACKETS every measurement (before-after",
+        "shown in the probes column) and a pair is flagged noisy when",
+        "probes diverge >25% or any bracket probe reads below the",
+        "quiet-host floor (170 Miter/s). Noisy pairs are excluded from the",
+        "median; their efficiencies are shown above, unhidden.",
         "",
         "History: round 1 appended unpaired best-of-N runs (one 0.98",
         "outlier, ten runs 0.047-0.36 — discarded as protocol-invalid);",

@@ -363,3 +363,37 @@ def test_cross_batch_near_dup_caught(spark, tmp_path):
     # replay idempotence on the fingerprint store
     committed = sinks.fingerprints.current_snapshot()["batch_ids"][0]
     assert sinks.fingerprints.merge(sinks.fingerprints.read().limit(1), committed) == 0
+
+
+def test_query_metrics_listener(spark, tmp_path):
+    """The throughput/watermark-lag listener is attached by default:
+    per-micro-batch records land in out_root/query_metrics.jsonl and
+    summary() reports throughput + watermark lag."""
+    import json as _json
+    import os as _os
+
+    path = _gen(tmp_path, n_convs=10)
+    _append_flush(spark, path)
+    q, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=3, soft_dedupe_enabled=False,
+    )
+    q.processAllAvailable()
+    q.stop()
+    # listener events are delivered asynchronously — allow a beat
+    import time as _time
+
+    for _ in range(50):
+        if sinks.query_metrics.rows:
+            break
+        _time.sleep(0.2)
+    s = sinks.query_metrics.summary()
+    assert s["batches"] >= 1
+    assert s["total_rows"] > 0
+    assert s["rows_per_sec"] is None or s["rows_per_sec"] > 0
+    mfile = _os.path.join(str(tmp_path / "out"), "query_metrics.jsonl")
+    assert _os.path.exists(mfile)
+    recs = [_json.loads(l) for l in open(mfile)]
+    assert any(r["num_input_rows"] for r in recs)
+    assert any(r.get("watermark_lag_sec") is not None for r in recs)
+    spark.streams.removeListener(sinks.query_metrics)
