@@ -221,6 +221,8 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "text_fingerprint": dataprep.text_fingerprint,
         "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
         "similarity_ann_lsh": similarity.similarity_ann_lsh,
+        "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
+        "similarity_ann_ivf": similarity.similarity_ann_ivf,
         "multimodal_metadata": multimodal.multimodal_metadata,
     }
     for name, fn in dataprep_fns.items():

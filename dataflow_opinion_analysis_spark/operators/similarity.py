@@ -25,6 +25,14 @@ TOP_K = 5
 N_QUERIES = 10  # vec_id < 10 are the query vectors
 LSH_PLANES = 8
 ANN_TOP_K = 3
+# embedding-cosine near-dup: the synthetic embeddings have no natural
+# near-pairs (max pairwise cosine ~0.51 at sf0.01), so the gate
+# deterministically augments every 20th vector with a perturbed twin
+# (x -> x + 0.01*sin(100x), identical transform in the DuckDB oracle) and
+# the detector must recover exactly those pairs through the LSH buckets
+COSINE_DUP_THRESHOLD = 0.98
+COSINE_DUP_EVERY = 20
+COSINE_DUP_OFFSET = 1_000_000
 
 # deterministic pseudo-random hyperplane component, portable across
 # engines: plane i, dim d -> ((i*64+d) * 2654435761) % 1000003 / 1000003 - 0.5
@@ -157,3 +165,122 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> D
     ).filter(F.col("query_id") != F.col("neighbor_id"))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), "neighbor_id")
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
+
+
+def _plane_sign_spark() -> str:
+    return " + ".join(
+        f"(CASE WHEN aggregate(zip_with(v, planes.p{i}, (x, y) -> x * y), "
+        f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(LSH_PLANES)
+    )
+
+
+def _plane_arrays_spark() -> str:
+    return ", ".join(
+        f"transform(sequence(0, 63), d -> {PLANE_EXPR.format(i=i)}) AS p{i}"
+        for i in range(LSH_PLANES)
+    )
+
+
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS via LSH buckets — the dedup
+    twin of similarity_ann_lsh: candidates only within a bucket (the
+    bucket is the equi-join/shuffle key, the 100 TB path), exact rounded
+    cosine >= {COSINE_DUP_THRESHOLD} as the verification. The input is
+    augmented with deterministic perturbed twins (see COSINE_DUP_* above)
+    because the synthetic corpus has no natural near-pairs."""
+    _emb(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH planes AS (SELECT {_plane_arrays_spark()}),
+base AS (
+  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id,
+         transform(v, x -> x + 0.01 * sin(100.0 * x)) AS v
+  FROM base WHERE vec_id % {COSINE_DUP_EVERY} = 3
+),
+bucketed AS (
+  SELECT vec_id, v, ({_plane_sign_spark()}) AS bucket
+  FROM aug CROSS JOIN planes
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket,
+    round({DOT} / ({NORM.format(c='a')} * {NORM.format(c='b')}), 6) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, bucket, cosine
+FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
+"""
+    )
+
+
+# IVF parameters: deterministic coarse quantizer (centroids = the first
+# IVF_CENTROIDS vectors — the sandbox replacement for k-means training,
+# which is a fit-time concern, not a query-plan concern), nprobe lists
+# searched per query
+IVF_CENTROIDS = 8
+IVF_NPROBE = 2
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) lists — the second scale path next to
+    LSH buckets: every vector is assigned to its nearest coarse centroid
+    (rounded-cosine argmax, centroid-id tie-break); a query probes its
+    {IVF_NPROBE} nearest lists and brute-forces only inside them. The
+    list id is the shuffle/join key; the centroid relation is tiny and
+    broadcast — at 100 TB the lists ARE the partitioning."""
+    _emb(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS c FROM v WHERE vec_id < {IVF_CENTROIDS}
+),
+scored AS (
+  SELECT a.vec_id, a.v, cent.cent_id,
+    round(aggregate(zip_with(a.v, cent.c, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)
+      / ({NORM.format(c='a')} * sqrt(aggregate(transform(cent.c, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))), 6) AS ccos
+  FROM v a CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS probe_cent FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored WHERE vec_id < {N_QUERIES}
+  ) WHERE crk <= {IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.cent_id, qa.v AS qv, x.v AS nv
+  FROM probes p
+  JOIN assigned x ON x.cent_id = p.probe_cent
+  JOIN assigned qa ON qa.vec_id = p.query_id
+  WHERE x.vec_id <> p.query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id, cent_id,
+    round(aggregate(zip_with(qv, nv, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)
+      / (sqrt(aggregate(transform(qv, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))
+         * sqrt(aggregate(transform(nv, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))), 6) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, cent_id, cosine, rk
+FROM ranked WHERE rk <= {ANN_TOP_K}
+"""
+    )

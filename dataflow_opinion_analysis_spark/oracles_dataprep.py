@@ -277,6 +277,77 @@ SELECT query_id, neighbor_id, bucket, cosine, rk
 FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
 """
 
+SIMILARITY_ANN_IVF_SQL = f"""
+WITH v AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+cent AS (
+  SELECT vec_id AS cent_id, v AS c FROM v WHERE vec_id < {similarity.IVF_CENTROIDS}
+),
+scored AS (
+  SELECT a.vec_id, a.v, cent.cent_id,
+    round(list_dot_product(a.v, cent.c)
+      / ({_NORM.format(c='a')} * sqrt(list_dot_product(cent.c, cent.c))), 6) AS ccos
+  FROM v a CROSS JOIN cent
+),
+assigned AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS probe_cent FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored WHERE vec_id < {similarity.N_QUERIES}
+  ) WHERE crk <= {similarity.IVF_NPROBE}
+),
+cand AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.cent_id, qa.v AS qv, x.v AS nv
+  FROM probes p
+  JOIN assigned x ON x.cent_id = p.probe_cent
+  JOIN assigned qa ON qa.vec_id = p.query_id
+  WHERE x.vec_id <> p.query_id
+),
+sims AS (
+  SELECT query_id, neighbor_id, cent_id,
+    round(list_dot_product(qv, nv)
+      / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))), 6) AS cosine
+  FROM cand
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS rk
+  FROM sims
+)
+SELECT query_id, neighbor_id, cent_id, cosine, rk
+FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
+"""
+
+DEDUP_EMBEDDING_COSINE_SQL = f"""
+WITH base AS (
+  SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
+),
+aug AS (
+  SELECT vec_id, v FROM base
+  UNION ALL
+  SELECT vec_id + {similarity.COSINE_DUP_OFFSET} AS vec_id,
+         list_transform(v, x -> x + 0.01 * sin(100.0 * x)) AS v
+  FROM base WHERE vec_id % {similarity.COSINE_DUP_EVERY} = 3
+),
+bucketed AS (
+  SELECT vec_id, v, ({_plane_sign}) AS bucket FROM aug
+),
+pairs AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket,
+    round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6) AS cosine
+  FROM bucketed a JOIN bucketed b
+    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+)
+SELECT doc_a, doc_b, bucket, cosine
+FROM pairs WHERE cosine >= {similarity.COSINE_DUP_THRESHOLD}
+"""
+
 MULTIMODAL_METADATA_SQL = """
 SELECT doc_id,
   CASE cast(doc_id % 3 AS int) WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality,
@@ -338,5 +409,7 @@ DATAPREP_ORACLES: dict[str, str] = {
     "split_ab": SPLIT_AB_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
     "similarity_ann_lsh": SIMILARITY_ANN_LSH_SQL,
+    "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
+    "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
 }

@@ -39,13 +39,15 @@ def get_spark(
         # shuffles (sha256 derivations, Arrow NLP stages read their ckpt
         # partitioning) down to a handful of partitions long before the
         # cores are fed — measured 11 partitions on a 32-core box, capping
-        # 2->8-core scaling at 0.58. 8m keeps partitions ≈ a few per core
-        # at local data sizes while still merging tiny fragments; cluster
-        # deployments with IO-bound TB-scale shuffles should override via
+        # 2->8-core scaling at 0.58, and 46 partitions starving local[32]
+        # (15.4s vs 12.1s steady indexer on the 500k-turn bench). 2m keeps
+        # partitions at the shuffle-width cap for local data sizes while
+        # still merging tiny fragments; cluster deployments with IO-bound
+        # TB-scale shuffles should override via
         # SPARK_GRAFT_ADVISORY_PARTITION (bytes suffix ok).
         .config(
             "spark.sql.adaptive.advisoryPartitionSizeInBytes",
-            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "8m"),
+            os.environ.get("SPARK_GRAFT_ADVISORY_PARTITION", "2m"),
         )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")

@@ -105,3 +105,27 @@ def test_ann_lsh_plan_clean(spark):
     assert len(bnl_nodes) <= 2, plan[:4000]
     # the candidate join itself is a hash equi-join (on the bucket key)
     assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+
+
+def test_ivf_and_cosine_dedup_plans_clean(spark):
+    """IVF: candidate/assignment joins are hash equi-joins on the list id;
+    the only BNL is the 8-row centroid relation (broadcast of a constant-
+    sized side — at scale the centroid table stays broadcastable by
+    construction). Cosine near-dup: candidates join on the bucket key;
+    only the 1-row planes constant is a BNL."""
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    # scored (vectors x 8-row centroids) is referenced by both `assigned`
+    # and `probes`, so the tiny-side BNL appears up to 3 times in the tree
+    for fn, max_bnl in (
+        (similarity.similarity_ann_ivf, 3),
+        (similarity.dedup_embedding_cosine, 2),
+    ):
+        plan = plan_of(fn(spark, SF_DIR))
+        assert "CartesianProduct" not in plan, fn.__name__
+        bnl_nodes = [
+            ln for ln in plan.splitlines()
+            if "BroadcastNestedLoopJoin" in ln and ("+-" in ln or ln.startswith("*"))
+        ]
+        assert len(bnl_nodes) <= max_bnl, (fn.__name__, plan[:3000])
+        assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, fn.__name__
