@@ -37,8 +37,11 @@ def cmd_index(args) -> int:
     t = spark.read.parquet(args.input)
     out = build_indexer(
         t, persist=True, soft_dedupe_enabled=not args.no_soft_dedupe,
-        enrich_ratio=args.enrich_ratio,
+        enrich_ratio=args.enrich_ratio, strict_scoring=args.strict_scoring,
     )
+    if args.strict_scoring and out.dead_letter is not None:
+        out.dead_letter.write.mode(args.mode).parquet(f"{args.output}/dead_letter")
+        print("wrote dead_letter")
     for name, df in [
         ("webresource", out.webresource),
         ("document", out.document),
@@ -68,6 +71,8 @@ def cmd_stream(args) -> int:
         max_files_per_trigger=args.max_files_per_trigger,
         soft_dedupe_enabled=not args.no_soft_dedupe,
         enrich_ratio=args.enrich_ratio,
+        strict_scoring=args.strict_scoring,
+        cross_batch_near_dedupe=args.cross_batch_near_dedupe,
     )
     if args.drain:
         q.processAllAvailable()
@@ -90,15 +95,70 @@ def cmd_statscalc(args) -> int:
     sentiment = spark.read.parquet(f"{args.warehouse}/sentiment")
     webresource = spark.read.parquet(f"{args.warehouse}/webresource")
     stats.register_views(spark, document, sentiment, webresource)
-    social = (
-        spark.read.parquet(args.social_counts) if args.social_counts else None
-    )
+    social = None
+    if args.social_counts:
+        # pin the rows before the chain writes: build_stats(store_root=...)
+        # rewrites <warehouse>/wrsocialcount, which may BE this input path
+        # (the socialstats -> statscalc composition) — overwriting a path
+        # Spark is lazily reading from corrupts the read
+        social = spark.read.parquet(args.social_counts).localCheckpoint(eager=True)
     # durable chaining: each table is written to the warehouse and the
     # read-back feeds the next table (reference per-table BigQuery writes)
     for name in stats.build_stats(
         spark, store_root=args.warehouse, social_counts=social
     ):
         print(f"wrote {name}")
+    spark.stop()
+    return 0
+
+
+def cmd_socialstats(args) -> int:
+    """SocialStatsPipeline.java:54-157 composed end-to-end: generated
+    JDBC social-stats query -> WebResourceHash derivation -> max-time
+    filter against the stored table -> durable wrsocialcount parquet,
+    consumable by `statscalc --social-counts`."""
+    import os
+
+    from dataflow_opinion_analysis_spark.operators.events_ops import (
+        social_counts_from_jdbc,
+    )
+    from dataflow_opinion_analysis_spark.sources.files import (
+        build_jdbc_social_stats_query,
+        read_jdbc,
+    )
+
+    spark = _spark(args)
+    q = build_jdbc_social_stats_query(args.from_date, args.to_date)
+    raw = read_jdbc(spark, args.jdbc_url, q, driver=args.driver)
+    out_path = f"{args.output}/wrsocialcount"
+    existing = None
+    if not args.truncate and os.path.exists(out_path):
+        existing = spark.read.parquet(out_path)
+        # the max-time filter reads the CURRENT table while we rewrite it:
+        # pin the rows first (reference reads the cache via a separate
+        # BigQuery query before writing, SocialStatsPipeline.java:112-122)
+        existing = existing.localCheckpoint(eager=True)
+    counts = social_counts_from_jdbc(raw, existing)
+    mode = "overwrite" if args.truncate or existing is None else "append"
+    counts.write.mode(mode).parquet(out_path)
+    print(f"wrote wrsocialcount ({mode})")
+    spark.stop()
+    return 0
+
+
+def cmd_compact_fingerprints(args) -> int:
+    """Maintenance: rewrite the streaming fingerprint store keeping the
+    newest N fingerprints per soft key (the bound the read path already
+    assumes — verdicts are unchanged, the table just stops growing)."""
+    from dataflow_opinion_analysis_spark.streaming import dedupe_state
+    from dataflow_opinion_analysis_spark.streaming.pipeline import IndexerSinks
+
+    spark = _spark(args)
+    sinks = IndexerSinks.create(spark, args.output)
+    before, after = dedupe_state.compact_fingerprints(
+        sinks.fingerprints, keep=args.keep
+    )
+    print(f"compacted fingerprints: {before} -> {after} rows")
     spark.stop()
     return 0
 
@@ -130,6 +190,8 @@ def main(argv: list[str] | None = None) -> int:
     # reference batch default is 0.01 (IndexerPipelineUtils.java:395-398);
     # 0.0 keeps enrichment-free runs reproducible vs the goldens
     p.add_argument("--enrich-ratio", type=float, default=0.0)
+    # K2/F5: raise on poison docs and route them to <output>/dead_letter
+    p.add_argument("--strict-scoring", action="store_true")
     p.set_defaults(fn=cmd_index)
 
     p = sub.add_parser("stream")
@@ -141,6 +203,11 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--no-soft-dedupe", action="store_true")
     # reference streaming default is 1.0 (IndexerPipelineUtils.java:395-398)
     p.add_argument("--enrich-ratio", type=float, default=0.0)
+    # K2/F5: dead-letter routing for poison docs (exactly-once MergeTable)
+    p.add_argument("--strict-scoring", action="store_true")
+    # durable MinHash fingerprint store: catch near-dups arriving
+    # micro-batches after the original
+    p.add_argument("--cross-batch-near-dedupe", action="store_true")
     p.add_argument("--drain", action="store_true", help="process available input then exit")
     p.set_defaults(fn=cmd_stream)
 
@@ -150,6 +217,22 @@ def main(argv: list[str] | None = None) -> int:
     # derives deterministic counts from WebResourceHash
     p.add_argument("--social-counts", default=None)
     p.set_defaults(fn=cmd_statscalc)
+
+    p = sub.add_parser("socialstats")
+    p.add_argument("--jdbc-url", required=True)
+    p.add_argument("--driver", default=None)
+    p.add_argument("--from-date", default=None)
+    p.add_argument("--to-date", default=None)
+    p.add_argument("--output", required=True, help="warehouse root (writes <output>/wrsocialcount)")
+    p.add_argument("--truncate", action="store_true",
+                   help="WRITE_TRUNCATE semantics (skip the max-time filter)")
+    p.set_defaults(fn=cmd_socialstats)
+
+    p = sub.add_parser("compact-fingerprints")
+    p.add_argument("--output", required=True, help="stream out_root holding the fingerprint store")
+    from dataflow_opinion_analysis_spark.streaming.dedupe_state import MAX_FPRINTS
+    p.add_argument("--keep", type=int, default=MAX_FPRINTS)
+    p.set_defaults(fn=cmd_compact_fingerprints)
 
     p = sub.add_parser("datagen")
     p.add_argument("--output", required=True)

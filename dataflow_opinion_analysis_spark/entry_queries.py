@@ -20,6 +20,26 @@ from dataflow_opinion_analysis_spark.sources.transcripts import derive_transcrip
 
 
 _OUTPUTS_CACHE: dict[tuple, object] = {}
+# persistent-RDD ids each memoized build pinned (persisted frames AND
+# eager-localCheckpoint blocks), recorded as a before/after diff of the
+# SparkContext's persistent-RDD map at build time
+_CACHE_RDD_IDS: dict[tuple, set[int]] = {}
+
+
+def _persistent_rdd_ids(spark: SparkSession) -> set[int]:
+    try:
+        return {int(k) for k in spark.sparkContext._jsc.getPersistentRDDs().keys()}
+    except Exception:
+        return set()
+
+
+def _memoize_build(spark: SparkSession, key: tuple, build):
+    """Run `build()` under persistent-RDD-id accounting so clear_cache can
+    later release exactly the blocks this build pinned — nothing else."""
+    before = _persistent_rdd_ids(spark)
+    _OUTPUTS_CACHE[key] = build()
+    _CACHE_RDD_IDS[key] = _persistent_rdd_ids(spark) - before
+    return _OUTPUTS_CACHE[key]
 
 
 def clear_cache(spark: SparkSession | None = None) -> None:
@@ -28,9 +48,14 @@ def clear_cache(spark: SparkSession | None = None) -> None:
 
     The memoized outputs are eager localCheckpoints, whose blocks live in
     persistent RDDs OUTSIDE the SQL cache manager — DataFrame.unpersist()
-    is a no-op on them. Releasing for real means unpersisting the
-    SparkContext's persistent RDDs (checkpoint blocks are exactly the
-    RDDs pinned there once the memo dict no longer references them)."""
+    is a no-op on them. Only the RDD ids recorded at memoization time are
+    unpersisted: checkpointed frames have truncated lineage, so blindly
+    unpersisting EVERY persistent RDD in the context would make any
+    unrelated checkpointed DataFrame the caller still holds
+    unrecomputable (missing-block errors rather than recompute).
+
+    NOTE: DataFrames previously returned by this registry ARE invalidated
+    by this call — that is its purpose."""
     if spark is None:
         for v in _OUTPUTS_CACHE.values():
             if hasattr(v, "winners"):
@@ -39,14 +64,18 @@ def clear_cache(spark: SparkSession | None = None) -> None:
             if isinstance(v, dict) and v:
                 spark = next(iter(v.values())).sparkSession
                 break
+    ours: set[int] = set()
+    for ids in _CACHE_RDD_IDS.values():
+        ours |= ids
     _OUTPUTS_CACHE.clear()
+    _CACHE_RDD_IDS.clear()
     if spark is None:
         return
     try:
-        spark.catalog.clearCache()
         jmap = spark.sparkContext._jsc.getPersistentRDDs()
-        for jrdd in list(jmap.values()):
-            jrdd.unpersist()
+        for k, jrdd in list(jmap.items()):
+            if int(k) in ours:
+                jrdd.unpersist()
     except Exception:
         # releasing is best-effort; blocks fall back to ContextCleaner GC
         pass
@@ -58,8 +87,11 @@ def _outputs(spark: SparkSession, sf_dir: str):
     the whole DAG each."""
     key = (id(spark), sf_dir)
     if key not in _OUTPUTS_CACHE:
-        t = derive_transcripts(spark, sf_dir)
-        _OUTPUTS_CACHE[key] = build_indexer(t, persist=True)
+        return _memoize_build(
+            spark,
+            key,
+            lambda: build_indexer(derive_transcripts(spark, sf_dir), persist=True),
+        )
     return _OUTPUTS_CACHE[key]
 
 
@@ -73,11 +105,15 @@ def _stats_tables(spark: SparkSession, sf_dir: str):
     if key not in _OUTPUTS_CACHE:
         out = _outputs(spark, sf_dir)
         stats.register_views(spark, out.document, out.sentiment, out.webresource)
-        _OUTPUTS_CACHE[key] = stats.build_stats(
+        return _memoize_build(
             spark,
-            persist=True,
-            domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
-            domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+            key,
+            lambda: stats.build_stats(
+                spark,
+                persist=True,
+                domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
+                domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+            ),
         )
     return _OUTPUTS_CACHE[key]
 

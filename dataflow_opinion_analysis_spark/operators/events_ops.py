@@ -180,3 +180,48 @@ ORDER BY rev_rank
 LIMIT 100
 """
     )
+
+
+def social_counts_from_jdbc(raw: DataFrame, existing: DataFrame | None = None) -> DataFrame:
+    """SocialStatsPipeline.java:54-157 composed for Spark: rows from the
+    generated JDBC social-stats query (sources/files.py
+    build_jdbc_social_stats_query: page_pub_time, url, doc_col_id,
+    col_item_id, count_time, count_tw, count_fb) -> wrsocialcount rows.
+
+    WebResourceHash derives from (pub_time, url) with the SAME function
+    the indexer's webresource rows use (hashes.web_resource_hash), so the
+    counts join the fact tables without any URL re-lookup.
+
+    ``existing``: the already-stored wrsocialcount relation — rows whose
+    CountTime is not strictly newer than the last stored count for their
+    web resource are dropped (the reference's side-input max-time join,
+    SocialStatsPipeline.java:112-139/J4, rebuilt as a max-aggregate +
+    equi-join: the aggregate side is one row per web resource, so it
+    broadcasts at any history length)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_opinion_analysis_spark import hashes
+
+    pub = F.col("page_pub_time").cast("timestamp")
+    out = raw.select(
+        hashes.web_resource_hash(pub, F.col("url")).alias("WebResourceHash"),
+        hashes.date_id(pub).alias("WrPublicationDateId"),
+        F.col("count_time").cast("timestamp").alias("CountTime"),
+        F.col("doc_col_id").cast("string").alias("DocumentCollectionId"),
+        F.col("col_item_id").cast("string").alias("CollectionItemId"),
+        F.col("count_fb").cast("int").alias("FbCount"),
+        F.col("count_tw").cast("int").alias("TwCount"),
+    )
+    if existing is not None:
+        last = existing.groupBy("WebResourceHash").agg(
+            F.max("CountTime").alias("_last_count_time")
+        )
+        out = (
+            out.join(last, "WebResourceHash", "left")
+            .filter(
+                F.col("_last_count_time").isNull()
+                | (F.col("CountTime") > F.col("_last_count_time"))
+            )
+            .drop("_last_count_time")
+        )
+    return out

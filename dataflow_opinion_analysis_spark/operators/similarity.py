@@ -27,12 +27,22 @@ LSH_PLANES = 8
 ANN_TOP_K = 3
 # embedding-cosine near-dup: the synthetic embeddings have no natural
 # near-pairs (max pairwise cosine ~0.51 at sf0.01), so the gate
-# deterministically augments every 20th vector with a perturbed twin
-# (x -> x + 0.01*sin(100x), identical transform in the DuckDB oracle) and
-# the detector must recover exactly those pairs through the LSH buckets
+# deterministically augments every 20th vector with a perturbed twin and
+# the detector must recover those pairs through the LSH buckets. The
+# perturbation is pure integer arithmetic (same scheme as PLANE_EXPR, a
+# DIFFERENT multiplier so it is not correlated with the hyperplanes) —
+# a transcendental like sin() would make cross-engine parity depend on
+# JVM vs DuckDB libm producing bit-identical doubles near sign/threshold
+# boundaries. EPS=0.08 on unit-norm vectors lands twins at cosine
+# 0.982-0.987: above the 0.98 threshold but adversarial for a single
+# 8-plane band (measured: 3-4 of 25 twins missed by one band at sf0.01,
+# 0 missed by the 8-band OR-amplified detector).
 COSINE_DUP_THRESHOLD = 0.98
 COSINE_DUP_EVERY = 20
 COSINE_DUP_OFFSET = 1_000_000
+EMB_DUP_EPS = 0.08
+EMB_DUP_MULT = 1103515245
+EMB_DUP_BANDS = 8  # L independent 8-plane bands (OR-amplification)
 
 # deterministic pseudo-random hyperplane component, portable across
 # engines: plane i, dim d -> ((i*64+d) * 2654435761) % 1000003 / 1000003 - 0.5
@@ -182,79 +192,223 @@ def _plane_arrays_spark() -> str:
     )
 
 
-def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate PAIRS via LSH buckets — the dedup
-    twin of similarity_ann_lsh: candidates only within a bucket (the
-    bucket is the equi-join/shuffle key, the 100 TB path), exact rounded
-    cosine >= {COSINE_DUP_THRESHOLD} as the verification. The input is
-    augmented with deterministic perturbed twins (see COSINE_DUP_* above)
-    because the synthetic corpus has no natural near-pairs."""
-    _emb(spark, sf_dir)
-    return spark.sql(
-        f"""
-WITH planes AS (SELECT {_plane_arrays_spark()}),
+# the perturbed-twin expression, Spark dialect: component d of vec_id's
+# twin is x + EPS * uniform_hash(vec_id, d) with uniform_hash in
+# [-0.5, 0.5) — transform's (element, index) lambda gives d, vec_id is an
+# outer column reference
+_PERTURB_SPARK = (
+    f"transform(v, (x, d) -> x + {EMB_DUP_EPS} * "
+    f"((((vec_id * 131 + d) * {EMB_DUP_MULT}) % 1000003) / 1000003.0 - 0.5))"
+)
+
+
+def _emb_dup_sql_spark(n_bands: int) -> str:
+    """Multi-band (OR-amplified) embedding near-dup SQL, Spark dialect.
+    Band b uses planes b*8 .. b*8+7 of the shared PLANE_EXPR family; a
+    pair is a candidate if it collides in ANY band; exact rounded cosine
+    >= threshold is the verification. The long (vec_id, band, bucket)
+    relation makes (band, bucket) the single equi-join/shuffle key — the
+    100 TB path (at scale, materialize `sigs` once instead of letting the
+    CTE re-expand per band arm)."""
+    nb = n_bands * LSH_PLANES
+    plane_arrays = ", ".join(
+        f"transform(sequence(0, 63), d -> {PLANE_EXPR.format(i=i)}) AS p{i}"
+        for i in range(nb)
+    )
+    bucket_cols = ", ".join(
+        "("
+        + " + ".join(
+            f"(CASE WHEN aggregate(zip_with(v, planes.p{b * LSH_PLANES + i}, (x, y) -> x * y), "
+            f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(LSH_PLANES)
+        )
+        + f") AS bucket{b}"
+        for b in range(n_bands)
+    )
+    long_union = "\n  UNION ALL\n".join(
+        f"  SELECT vec_id, {b} AS band, bucket{b} AS bucket FROM sigs"
+        for b in range(n_bands)
+    )
+    return f"""
+WITH planes AS (SELECT {plane_arrays}),
 base AS (
   SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
 ),
 aug AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id,
-         transform(v, x -> x + 0.01 * sin(100.0 * x)) AS v
+  SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id, {_PERTURB_SPARK} AS v
   FROM base WHERE vec_id % {COSINE_DUP_EVERY} = 3
 ),
-bucketed AS (
-  SELECT vec_id, v, ({_plane_sign_spark()}) AS bucket
-  FROM aug CROSS JOIN planes
+sigs AS (
+  SELECT vec_id, {bucket_cols} FROM aug CROSS JOIN planes
+),
+bands_long AS (
+{long_union}
+),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, count(*) AS n_bands
+  FROM bands_long a JOIN bands_long b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
 ),
 pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket,
+  SELECT c.doc_a, c.doc_b, c.n_bands,
     round({DOT} / ({NORM.format(c='a')} * {NORM.format(c='b')}), 6) AS cosine
-  FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cand c JOIN aug a ON a.vec_id = c.doc_a JOIN aug b ON b.vec_id = c.doc_b
 )
-SELECT doc_a, doc_b, bucket, cosine
+SELECT doc_a, doc_b, n_bands, cosine
 FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
 """
-    )
 
 
-# IVF parameters: deterministic coarse quantizer (centroids = the first
-# IVF_CENTROIDS vectors — the sandbox replacement for k-means training,
-# which is a fit-time concern, not a query-plan concern), nprobe lists
-# searched per query
+def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate PAIRS via multi-band LSH — the
+    dedup twin of similarity_ann_lsh with OR-amplification: a DEDUP
+    operator needs recall at its own threshold, so candidates are the
+    union of bucket collisions across {EMB_DUP_BANDS} independent 8-plane
+    bands (single-band collision probability at cosine 0.983 is only
+    ~0.6-0.9, i.e. a lone band silently drops a large fraction of true
+    pairs — see test_single_band_misses_pairs_multiband_finds). The
+    (band, bucket) pair is the equi-join/shuffle key and the final exact
+    rounded cosine >= {COSINE_DUP_THRESHOLD} verifies every candidate —
+    no all-pairs product anywhere. Input augmented with deterministic
+    integer-arithmetic perturbed twins (COSINE_DUP_* / EMB_DUP_*)."""
+    _emb(spark, sf_dir)
+    return spark.sql(_emb_dup_sql_spark(EMB_DUP_BANDS))
+
+
+def dedup_embedding_cosine_single_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The deliberately-weak single-band variant, kept as the contrast
+    case for the recall test: one 8-plane band misses a measurable
+    fraction of true near-dup pairs that the multi-band detector finds."""
+    _emb(spark, sf_dir)
+    return spark.sql(_emb_dup_sql_spark(1))
+
+
+# IVF parameters: k centroids TRAINED by a deterministic k-means fit
+# (hash-ordered sampled init + IVF_ITERS Lloyd iterations, centroid means
+# rounded to 6 dp so JVM and DuckDB arithmetic agree bit-for-bit after
+# rounding); nprobe lists searched per query. The fit runs as its OWN
+# tiny query whose result ({IVF_CENTROIDS} rows) is collected and
+# injected as a literal centroid relation into the serving query — the
+# idiomatic fit-then-serve shape: the serving plan sees a constant
+# broadcastable centroid table instead of an inlined training DAG
+# (letting the CTE chain inline 3x through scored/assigned/probes blew
+# the plan up), and collecting 8 rows is scale-free. Untrained centroids
+# (the round-3 stub: first 8 vectors) gave wildly unbalanced inverted
+# lists, turning the list-id shuffle key into the skew key at 100 TB.
 IVF_CENTROIDS = 8
 IVF_NPROBE = 2
+IVF_ITERS = 2
+IVF_SEED_MULT = 2654435761  # hash-ordered sample for the seed centroids
 
 
-def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ANN via IVF (inverted-file) lists — the second scale path next to
-    LSH buckets: every vector is assigned to its nearest coarse centroid
-    (rounded-cosine argmax, centroid-id tie-break); a query probes its
-    {IVF_NPROBE} nearest lists and brute-forces only inside them. The
-    list id is the shuffle/join key; the centroid relation is tiny and
-    broadcast — at 100 TB the lists ARE the partitioning."""
-    _emb(spark, sf_dir)
-    return spark.sql(
-        f"""
+def _ivf_fit_sql_spark() -> str:
+    """The k-means fit query (run once; returns (cent_id, c) rows).
+    Seed = first {IVF_CENTROIDS} vectors in hash order via ORDER BY +
+    LIMIT (planned as TakeOrderedAndProject — a distributed top-k, NOT a
+    single-partition global window); then IVF_ITERS Lloyd steps: assign
+    every vector to its nearest centroid (rounded-cosine argmax,
+    cent_id tie-break), recompute centroids as 6-dp-rounded element-wise
+    means via a 64-row dims relation. Mirrored CTE-for-CTE in DuckDB
+    (oracles_dataprep._ivf_kmeans_ctes_duck)."""
+    dot_vc = (
+        "aggregate(zip_with(a.v, s.c, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
+    )
+    norm_a = "sqrt(aggregate(transform(a.v, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))"
+    norm_c = "sqrt(aggregate(transform(s.c, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))"
+    parts = [
+        f"""seed AS (
+  SELECT cast(row_number() OVER (ORDER BY (vec_id * {IVF_SEED_MULT}) % 1000003, vec_id) - 1 AS bigint) AS cent_id,
+         v AS c
+  FROM (SELECT vec_id, v FROM v ORDER BY (vec_id * {IVF_SEED_MULT}) % 1000003, vec_id LIMIT {IVF_CENTROIDS})
+)""",
+        "dims AS (SELECT explode(sequence(0, 63)) AS d)",
+    ]
+    prev = "seed"
+    for it in range(IVF_ITERS):
+        parts.append(f"""assign{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, s.cent_id,
+      row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY round({dot_vc} / ({norm_a} * {norm_c}), 6) DESC, s.cent_id) AS crk
+    FROM v a CROSS JOIN {prev} s
+  ) WHERE crk = 1
+)""")
+        parts.append(f"""cent{it + 1} AS (
+  SELECT cent_id,
+    transform(array_sort(collect_list(named_struct('d', d, 'mx', mx))), s -> s.mx) AS c
+  FROM (
+    SELECT cent_id, d, round(avg(element_at(v, d + 1)), 6) AS mx
+    FROM assign{it} CROSS JOIN dims
+    GROUP BY cent_id, d
+  )
+  GROUP BY cent_id
+)""")
+        prev = f"cent{it + 1}"
+    ctes = ",\n".join(parts)
+    return f"""
 WITH v AS (
   SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
 ),
-cent AS (
-  SELECT vec_id AS cent_id, v AS c FROM v WHERE vec_id < {IVF_CENTROIDS}
+{ctes}
+SELECT cent_id, c FROM cent{IVF_ITERS}
+"""
+
+
+def ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
+    """Run the deterministic k-means fit; returns the trained centroids
+    sorted by cent_id. The collect is {IVF_CENTROIDS} rows — bounded at
+    any input scale."""
+    _emb(spark, sf_dir)
+    rows = spark.sql(_ivf_fit_sql_spark()).collect()
+    return sorted((int(r.cent_id), [float(x) for x in r.c]) for r in rows)
+
+
+def _cent_literal_sql(cents: list[tuple[int, list[float]]]) -> str:
+    """The trained centroids as a VALUES literal relation (repr round-trips
+    doubles exactly, so the serving query sees the fit's exact values)."""
+    vals = ", ".join(
+        f"(cast({cid} AS bigint), array({', '.join(repr(x) for x in vec)}))"
+        for cid, vec in cents
+    )
+    return f"SELECT cent_id, c FROM (VALUES {vals}) AS t(cent_id, c)"
+
+
+def _ivf_serve_prefix(cents) -> str:
+    """Shared serving CTEs: literal centroid relation -> scored -> assigned."""
+    return f"""
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
 ),
+cent AS ({_cent_literal_sql(cents)}),
 scored AS (
-  SELECT a.vec_id, a.v, cent.cent_id,
-    round(aggregate(zip_with(a.v, cent.c, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)
-      / ({NORM.format(c='a')} * sqrt(aggregate(transform(cent.c, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))), 6) AS ccos
-  FROM v a CROSS JOIN cent
+  SELECT a.vec_id, a.v, s.cent_id,
+    round(aggregate(zip_with(a.v, s.c, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)
+      / ({NORM.format(c='a')} * sqrt(aggregate(transform(s.c, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))), 6) AS ccos
+  FROM v a CROSS JOIN cent s
 ),
 assigned AS (
   SELECT vec_id, v, cent_id FROM (
     SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
     FROM scored
   ) WHERE crk = 1
-),
+)"""
+
+
+def similarity_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via IVF (inverted-file) lists — the second scale path next to
+    LSH buckets: the trained quantizer (ivf_fit_centroids) assigns every
+    vector to its nearest coarse centroid (rounded-cosine argmax, cent_id
+    tie-break); a query probes its {IVF_NPROBE} nearest lists and
+    brute-forces only inside them. The list id is the shuffle/join key;
+    the centroid relation is a {IVF_CENTROIDS}-row literal and broadcasts
+    — at 100 TB the lists ARE the partitioning, and the trained quantizer
+    is what keeps them balanced (test_ivf_lists_balanced)."""
+    cents = ivf_fit_centroids(spark, sf_dir)
+    return spark.sql(
+        f"""{_ivf_serve_prefix(cents)},
 probes AS (
   SELECT vec_id AS query_id, cent_id AS probe_cent FROM (
     SELECT vec_id, cent_id,
@@ -283,4 +437,13 @@ ranked AS (
 SELECT query_id, neighbor_id, cent_id, cosine, rk
 FROM ranked WHERE rk <= {ANN_TOP_K}
 """
+    )
+
+
+def similarity_ivf_assignments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, cent_id) after the trained assignment — exposed for the
+    list-balance test and for inspecting the index layout."""
+    cents = ivf_fit_centroids(spark, sf_dir)
+    return spark.sql(
+        f"{_ivf_serve_prefix(cents)}\nSELECT vec_id, cent_id FROM assigned"
     )

@@ -277,18 +277,53 @@ SELECT query_id, neighbor_id, bucket, cosine, rk
 FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
 """
 
+# the k-means fit, DuckDB dialect — same CTE chain as
+# similarity._ivf_kmeans_ctes_spark (hash-seeded init, IVF_ITERS Lloyd
+# iterations, 6-dp-rounded centroid means)
+def _ivf_kmeans_ctes_duck() -> str:
+    parts = [
+        f"""seed AS (
+  SELECT cast(row_number() OVER (ORDER BY (vec_id * {similarity.IVF_SEED_MULT}) % 1000003, vec_id) - 1 AS bigint) AS cent_id,
+         v AS c
+  FROM (SELECT vec_id, v FROM v ORDER BY (vec_id * {similarity.IVF_SEED_MULT}) % 1000003, vec_id LIMIT {similarity.IVF_CENTROIDS})
+)""",
+        "dims AS (SELECT unnest(generate_series(0, 63)) AS d)",
+    ]
+    prev = "seed"
+    for it in range(similarity.IVF_ITERS):
+        parts.append(f"""assign{it} AS (
+  SELECT vec_id, v, cent_id FROM (
+    SELECT a.vec_id, a.v, s.cent_id,
+      row_number() OVER (PARTITION BY a.vec_id
+                         ORDER BY round(list_dot_product(a.v, s.c)
+                           / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(s.c, s.c))), 6) DESC,
+                         s.cent_id) AS crk
+    FROM v a CROSS JOIN {prev} s
+  ) WHERE crk = 1
+)""")
+        parts.append(f"""cent{it + 1} AS (
+  SELECT cent_id, list(mx ORDER BY d) AS c
+  FROM (
+    SELECT cent_id, d, round(avg(v[d + 1]), 6) AS mx
+    FROM assign{it} CROSS JOIN dims
+    GROUP BY cent_id, d
+  )
+  GROUP BY cent_id
+)""")
+        prev = f"cent{it + 1}"
+    return ",\n".join(parts)
+
+
 SIMILARITY_ANN_IVF_SQL = f"""
 WITH v AS (
   SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
 ),
-cent AS (
-  SELECT vec_id AS cent_id, v AS c FROM v WHERE vec_id < {similarity.IVF_CENTROIDS}
-),
+{_ivf_kmeans_ctes_duck()},
 scored AS (
-  SELECT a.vec_id, a.v, cent.cent_id,
-    round(list_dot_product(a.v, cent.c)
-      / ({_NORM.format(c='a')} * sqrt(list_dot_product(cent.c, cent.c))), 6) AS ccos
-  FROM v a CROSS JOIN cent
+  SELECT a.vec_id, a.v, s.cent_id,
+    round(list_dot_product(a.v, s.c)
+      / ({_NORM.format(c='a')} * sqrt(list_dot_product(s.c, s.c))), 6) AS ccos
+  FROM v a CROSS JOIN cent{similarity.IVF_ITERS} s
 ),
 assigned AS (
   SELECT vec_id, v, cent_id FROM (
@@ -324,6 +359,32 @@ SELECT query_id, neighbor_id, cent_id, cosine, rk
 FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
 """
 
+# multi-band embedding near-dup mirror (operators/similarity.py
+# _emb_dup_sql_spark): integer-arithmetic perturbed twins (no
+# transcendentals — libm parity), L 8-plane bands, union of per-band
+# bucket collisions, exact rounded-cosine verification. DuckDB's
+# list_transform has no index parameter, so the perturbation maps over
+# generate_series(0, 63) and indexes v (1-based) instead.
+_PERTURB_DUCK = (
+    f"list_transform(generate_series(0, 63), d -> v[d + 1] + {similarity.EMB_DUP_EPS} * "
+    f"((((vec_id * 131 + d) * {similarity.EMB_DUP_MULT}) % 1000003) / 1000003.0 - 0.5))"
+)
+
+_emb_bucket_cols = ", ".join(
+    "("
+    + " + ".join(
+        f"(CASE WHEN list_dot_product(v, {_duck_plane(b * similarity.LSH_PLANES + i)}) > 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i in range(similarity.LSH_PLANES)
+    )
+    + f") AS bucket{b}"
+    for b in range(similarity.EMB_DUP_BANDS)
+)
+_emb_long_union = "\n  UNION ALL\n".join(
+    f"  SELECT vec_id, {b} AS band, bucket{b} AS bucket FROM sigs"
+    for b in range(similarity.EMB_DUP_BANDS)
+)
+
 DEDUP_EMBEDDING_COSINE_SQL = f"""
 WITH base AS (
   SELECT vec_id, cast(embedding AS double[]) AS v FROM embeddings
@@ -331,20 +392,27 @@ WITH base AS (
 aug AS (
   SELECT vec_id, v FROM base
   UNION ALL
-  SELECT vec_id + {similarity.COSINE_DUP_OFFSET} AS vec_id,
-         list_transform(v, x -> x + 0.01 * sin(100.0 * x)) AS v
+  SELECT vec_id + {similarity.COSINE_DUP_OFFSET} AS vec_id, {_PERTURB_DUCK} AS v
   FROM base WHERE vec_id % {similarity.COSINE_DUP_EVERY} = 3
 ),
-bucketed AS (
-  SELECT vec_id, v, ({_plane_sign}) AS bucket FROM aug
+sigs AS (
+  SELECT vec_id, {_emb_bucket_cols} FROM aug
+),
+bands_long AS (
+{_emb_long_union}
+),
+cand AS (
+  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, count(*) AS n_bands
+  FROM bands_long a JOIN bands_long b
+    ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  GROUP BY a.vec_id, b.vec_id
 ),
 pairs AS (
-  SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, a.bucket,
+  SELECT c.doc_a, c.doc_b, c.n_bands,
     round({_DOT} / ({_NORM.format(c='a')} * {_NORM.format(c='b')}), 6) AS cosine
-  FROM bucketed a JOIN bucketed b
-    ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM cand c JOIN aug a ON a.vec_id = c.doc_a JOIN aug b ON b.vec_id = c.doc_b
 )
-SELECT doc_a, doc_b, bucket, cosine
+SELECT doc_a, doc_b, n_bands, cosine
 FROM pairs WHERE cosine >= {similarity.COSINE_DUP_THRESHOLD}
 """
 

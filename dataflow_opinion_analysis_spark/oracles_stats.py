@@ -429,6 +429,30 @@ stattoptopic7dsentiment AS (
   FROM sent_exp e
   JOIN fct_sentiment s ON s.SentimentHash = e.sh
   JOIN fct_webresource wr ON wr.WebResourceHash = s.MainWebResourceHash
+),
+-- ===== vwsentiment4search7d (bigquery/build_views.sh:57-73) =====
+-- Topic = top-3 tags stably ordered by (GoodAsTopic asc, tag rank),
+-- matching the Spark side's filter-concat over the rk-ordered Tags array
+s4s_topic AS (
+  SELECT document_hash,
+         array_to_string(list(tag ORDER BY good_as_topic, rk)[1:3], ' & ') AS Topic
+  FROM (SELECT document_hash, token AS tag,
+               token NOT IN (SELECT word FROM blocklist) AS good_as_topic, rk
+        FROM tags WHERE rk <= {lexicon.TAG_TOP_K})
+  GROUP BY document_hash
+),
+vwsentiment4search7d AS (
+  SELECT s.DocumentDateId AS SnapshotDateId, l7.TimeMarker,
+    coalesce(tp.Topic, '') AS Topic, s.SentimentTotalScore,
+    CASE s.DominantValence WHEN 1 THEN 'Positive' WHEN 2 THEN 'Negative'
+         WHEN 3 THEN 'Ambiguous' WHEN 5 THEN 'General' ELSE 'Unknown' END AS DominantValence,
+    s.Text, s.AnnotatedText, s.AnnotatedHtml,
+    {", ".join("s." + c for c in ST_COLUMNS)},
+    substr(wr.Title, 1, 1000) AS Title, wr.Url, wr.Domain, wr.Author
+  FROM fct_sentiment s
+  JOIN vwlast7days l7 ON s.DocumentDateId = l7.DateId
+  JOIN fct_webresource wr ON wr.WebResourceHash = s.MainWebResourceHash
+  LEFT JOIN s4s_topic tp ON tp.document_hash = s.DocumentHash
 )
 """
 
@@ -474,6 +498,7 @@ FROM stattoptopic7d
 """,
     "stattopstory7d": "SELECT * FROM stattopstory7d",
     "stattoptopic7dsentiment": "SELECT * FROM stattoptopic7dsentiment",
+    "vwsentiment4search7d": "SELECT * FROM vwsentiment4search7d",
 }
 
 

@@ -504,6 +504,43 @@ JOIN sentiment s ON s.SentimentHash = e.sh
 JOIN webresource wr ON wr.WebResourceHash = s.MainWebResourceHash
 """
 
+# ---------------------------------------------------------------------------
+# vwsentiment4search7d — the presentation view a search UI queries
+# (bigquery/build_views.sh:57-73): sentiment x vwlast7days x webresource,
+# Topic = top-3 tags ORDER BY GoodAsTopic (ascending, the reference's
+# literal ORDER BY — false sorts first) joined with " & ", valence decode
+# (StatsCalcPipelineUtils.java:621 codes), SUBSTR(Title,0,1000).
+# The top-3 selection is a STABLE sort by GoodAsTopic keeping the Tags
+# array's rank order (filter-concat), mirrored in DuckDB as
+# ORDER BY (good_as_topic, rk).
+# ---------------------------------------------------------------------------
+VWSENTIMENT4SEARCH7D_SQL = f"""
+SELECT
+  s.DocumentDateId AS SnapshotDateId, l7.TimeMarker,
+  array_join(transform(slice(concat(
+      filter(s.Tags, tg -> NOT tg.GoodAsTopic),
+      filter(s.Tags, tg -> tg.GoodAsTopic)), 1, 3), tg -> tg.Tag), ' & ') AS Topic,
+  s.SentimentTotalScore,
+  CASE s.DominantValence WHEN 1 THEN 'Positive' WHEN 2 THEN 'Negative'
+       WHEN 3 THEN 'Ambiguous' WHEN 5 THEN 'General' ELSE 'Unknown' END AS DominantValence,
+  s.Text, s.AnnotatedText, s.AnnotatedHtml,
+  {", ".join("s." + c for c in ST_COLUMNS)},
+  substring(wr.Title, 1, 1000) AS Title, wr.Url, wr.Domain, wr.Author
+FROM sentiment s
+JOIN vwlast7days l7 ON s.DocumentDateId = l7.DateId
+JOIN webresource wr ON wr.WebResourceHash = s.MainWebResourceHash
+"""
+
+# the remaining vw* views are SELECT * shells over their stat tables
+# (build_views.sh:52-93; vwdomainopinions' ORDER BY is presentation-only)
+VW_SHELLS = {
+    "vwdomainopinions": "SELECT * FROM statdomainopinions ORDER BY MeanBasic8Ratio ASC",
+    "vwstoryrank": "SELECT * FROM statstoryrank",
+    "vwtoptopic7d": "SELECT * FROM stattoptopic7d",
+    "vwtopstory7d": "SELECT * FROM stattopstory7d",
+    "vwtoptopic7dsentiment": "SELECT * FROM stattoptopic7dsentiment",
+}
+
 # table name -> SQL builder (chained names must already be registered as views)
 STATS_ORDER = [
     "wrsocialcount",
@@ -515,6 +552,7 @@ STATS_ORDER = [
     "stattoptopic7d",
     "stattopstory7d",
     "stattoptopic7dsentiment",
+    "vwsentiment4search7d",
 ]
 
 # which tables downstream tables read (persist these when materializing)
@@ -541,6 +579,8 @@ def stats_sql(name: str, domainopinions_min_docs: int = MIN_DOMAIN_DOCS,
         return STATTOPSTORY7D_SQL
     if name == "stattoptopic7dsentiment":
         return STATTOPTOPIC7DSENTIMENT_SQL
+    if name == "vwsentiment4search7d":
+        return VWSENTIMENT4SEARCH7D_SQL
     raise KeyError(name)
 
 
@@ -580,6 +620,7 @@ FROM stattoptopic7d
 """,
     "stattopstory7d": "SELECT * FROM stattopstory7d",
     "stattoptopic7dsentiment": "SELECT * FROM stattoptopic7dsentiment",
+    "vwsentiment4search7d": "SELECT * FROM vwsentiment4search7d",
 }
 
 
@@ -650,4 +691,10 @@ def build_stats(
             df = df.localCheckpoint(eager=True)
         df.createOrReplaceTempView(name)
         out[name] = df
+    # trivial SELECT * presentation shells (never materialized — they are
+    # pure views over already-materialized tables, like the reference's)
+    for vname, vsql in VW_SHELLS.items():
+        vdf = spark.sql(vsql)
+        vdf.createOrReplaceTempView(vname)
+        out[vname] = vdf
     return out

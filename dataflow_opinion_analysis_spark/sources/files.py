@@ -266,6 +266,40 @@ def build_jdbc_import_query(from_date: str | None = None, to_date: str | None = 
     )
 
 
+def build_jdbc_social_stats_query(
+    from_date: str | None = None, to_date: str | None = None
+) -> str:
+    """The reference's generated social-stats import SQL
+    (IndexerPipelineUtils.java:194-224, consumed by
+    SocialStatsPipeline.java:79-107), in portable SQL: per
+    (page, count_time) the tw/fb provider sums, then the latest
+    count_time per page/count combo. Deviations, documented: timestamps
+    stay TIMESTAMP (the reference converts to unix seconds for its Avro
+    coder — Spark-side we keep the native type), and the reference's
+    `s.count` column is named `cnt` (COUNT is a reserved word in
+    ANSI/Derby; MySQL tolerates it). Dates are validated before
+    interpolation like the page-import query."""
+    window = ""
+    if from_date:
+        window += f" AND s.created_at >= '{_validate_sql_date(from_date, 'from_date')}'"
+    if to_date:
+        window += f" AND s.created_at <= '{_validate_sql_date(to_date, 'to_date')}'"
+    return (
+        "SELECT a1.page_pub_time, a1.url, a1.doc_col_id, a1.col_item_id, "
+        "MAX(a1.count_time) AS count_time, a1.count_tw, a1.count_fb FROM ("
+        "SELECT p.pub_at AS page_pub_time, p.url AS url, "
+        f"'{DOC_COL_ID_KGA}' AS doc_col_id, s.page_id AS col_item_id, "
+        "s.created_at AS count_time, "
+        "SUM(CASE WHEN s.provider_id = 1 THEN s.cnt ELSE 0 END) AS count_tw, "
+        "SUM(CASE WHEN s.provider_id = 2 THEN s.cnt ELSE 0 END) AS count_fb "
+        "FROM social_stats s INNER JOIN pages p ON p.id = s.page_id "
+        "WHERE s.cnt > 0" + window + " "
+        "GROUP BY p.pub_at, p.url, s.page_id, s.created_at) a1 "
+        "GROUP BY a1.page_pub_time, a1.url, a1.doc_col_id, a1.col_item_id, "
+        "a1.count_tw, a1.count_fb"
+    )
+
+
 def read_jdbc(spark: SparkSession, jdbc_url: str, query: str, driver: str | None = None) -> DataFrame:
     """S2: `spark.read.format('jdbc')` over the generated query. Exercised
     in tests against the Derby driver bundled with Spark (embedded DB);

@@ -321,6 +321,16 @@ def fingerprint_dedupe_batch(winners, store, batch_id: int):
     O(history). Rows inside a group decide in (conv_id, turn_idx) order,
     identical to the keyed-state operator (decide_group is shared).
 
+    Replay safety: if a prior attempt of THIS batch_id crashed after the
+    fingerprint merge committed but before the document merge did, the
+    store already holds this batch's own fingerprints — without a fence
+    every previously admitted doc would self-match at similarity 1.0 and
+    be dropped as a dupe of itself. Two guards close this: (1) the store
+    read is fenced to ``store_batch_id < batch_id`` (batch ids are
+    monotonic, so a batch never sees its own or later state); (2) a
+    verdict whose winner is the row's own document_hash is coerced to
+    not-a-dupe, mirroring the exact-dedupe routing in pipeline.py.
+
     Scale note: the recency-cap window partitions the STORED relation by
     the soft key; a years-old store on a hot key should be compacted
     (keep newest MAX_FPRINTS per key) by a maintenance job so this read
@@ -343,6 +353,8 @@ def fingerprint_dedupe_batch(winners, store, batch_id: int):
     stored = (
         store.read()
         .filter(F.col("sig_version") == SIG_VERSION)
+        # replay fence: never read state this batch (or a later one) wrote
+        .filter(F.col("store_batch_id") < int(batch_id))
         .join(batch_keys, keys, "left_semi")
     )
     w = Window.partitionBy(*keys).orderBy(
@@ -360,8 +372,13 @@ def fingerprint_dedupe_batch(winners, store, batch_id: int):
         batch_sigs = batch_signatures(batch_pdf["text"])
         doc_hashes = batch_pdf["document_hash"].to_numpy(dtype=object)
         if len(state_pdf):
+            # ascending: decide_group's argmax picks the FIRST max, and its
+            # contract is 'older wins' on equal similarity — index order
+            # must mean oldest-first, matching the keyed-state operator's
+            # append-ordered state array (batch id, then hash for a
+            # deterministic within-batch order)
             st = state_pdf.sort_values(
-                ["store_batch_id", "document_hash"], ascending=[False, False]
+                ["store_batch_id", "document_hash"], ascending=[True, True]
             ).reset_index(drop=True)
             state_sigs = np.array([list(s) for s in st["sig"]], dtype=np.int64)
             state_hashes = st["document_hash"].tolist()
@@ -405,6 +422,40 @@ def fingerprint_dedupe_batch(winners, store, batch_id: int):
         ),
         batch_id,
     )
+    # belt-and-braces self-winner guard (see docstring): with the batch-id
+    # fence this cannot fire, but a dupe-of-itself verdict must never drop
+    # a document row
+    self_match = F.col("winner_document_hash") == F.col("document_hash")
     return verdicts.select(
-        "document_hash", "is_dupe", "winner_document_hash", "est_jaccard"
+        "document_hash",
+        (F.col("is_dupe") & ~self_match).alias("is_dupe"),
+        F.when(F.col("is_dupe") & ~self_match, F.col("winner_document_hash"))
+        .otherwise(F.col("document_hash"))
+        .alias("winner_document_hash"),
+        "est_jaccard",
     )
+
+
+def compact_fingerprints(store, keep: int = MAX_FPRINTS) -> tuple[int, int]:
+    """The maintenance job the fingerprint store's read path assumes
+    (see fingerprint_dedupe_batch's scale note): rewrite the MergeTable
+    keeping only the newest `keep` fingerprints per soft key — exactly
+    the recency cap the read path applies, so verdicts for any replayed
+    or future batch are unchanged by compaction. Stale-SIG_VERSION rows
+    are dropped too (they can never match). Returns (rows_before,
+    rows_after)."""
+    from pyspark.sql import Window
+
+    before = store.read()
+    n_before = before.count()
+    w = Window.partitionBy("soft_title", "len_bucket").orderBy(
+        F.desc("store_batch_id"), F.desc("document_hash")
+    )
+    kept = (
+        before.filter(F.col("sig_version") == SIG_VERSION)
+        .withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") <= keep)
+        .drop("_rk")
+    )
+    n_after = store.replace(kept, note=f"compact keep={keep}")
+    return n_before, n_after

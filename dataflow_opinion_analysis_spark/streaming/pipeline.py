@@ -138,7 +138,13 @@ def process_batch(
     the stream==batch equivalence tests stay enrichment-free unless both
     sides opt in)."""
     spark = assembled.sparkSession
+    # every persist is recorded here and released at the end of the batch
+    # regardless of which flag branches were taken — rebinding a name to a
+    # derived frame must never orphan a persisted parent across
+    # micro-batches (executor storage would grow until ContextCleaner GC)
+    persisted: list[DataFrame] = []
     assembled = assembled.persist()
+    persisted.append(assembled)
     stats = assembled.agg(
         F.count("*").alias("n_input"),
         F.sum(F.when(F.col("status") == "late", 1).otherwise(0)).alias("n_late"),
@@ -196,6 +202,7 @@ def process_batch(
     # Arrow pass appends (Tags, tag_names) to the wide winners — no token
     # shuffles, no doc-sized tag join-back
     winners = scorer.tags_augment(winners, strict=strict_scoring).persist()
+    persisted.append(winners)
 
     n_failed = 0
     if strict_scoring:
@@ -240,6 +247,7 @@ def process_batch(
         soft_winners = routed2.filter(F.col("is_dupe").isNull()).drop(
             "is_dupe", "winner_document_hash"
         ).persist()
+        persisted.append(soft_winners)
         soft_dupes = routed2.filter(F.col("is_dupe")).drop("is_dupe")
     else:
         soft_winners, soft_dupes = winners, None
@@ -250,6 +258,7 @@ def process_batch(
         soft_winners = entities.enrich_with_entities(
             soft_winners, b_ratio=enrich_ratio, hash_col="expected_document_hash"
         ).persist()
+        persisted.append(soft_winners)
 
     document = fanout.document_rows(soft_winners, extra_cols=["content_hash"])
     # fused Arrow fan-out: passage rows carry the doc key fields — the
@@ -277,10 +286,8 @@ def process_batch(
     )
     metrics.write.mode("append").parquet(sinks.metrics_dir)
 
-    winners.unpersist()
-    if soft_dedupe_enabled:
-        soft_winners.unpersist()
-    assembled.unpersist()
+    for df in persisted:
+        df.unpersist()
     return {"batch_id": batch_id, "n_input": n_input, "n_late": n_late,
             "n_documents": n_docs, "n_sentiments": n_sents,
             "n_failed": n_failed}

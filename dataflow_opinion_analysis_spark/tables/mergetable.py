@@ -179,3 +179,34 @@ class MergeTable:
         }
         self._commit(new_snap)
         return n
+
+    # -- REPLACE (compaction) --------------------------------------------------
+    def replace(self, df: DataFrame, note: str = "compaction") -> int:
+        """Atomically replace the table's contents with `df` (the rewrite
+        primitive behind maintenance jobs like fingerprint-store
+        compaction — Iceberg's rewrite_data_files). Committed batch_ids
+        are PRESERVED, so exactly-once replay semantics survive the
+        rewrite; old data files are left on disk for time-travel until
+        externally vacuumed (the snapshot no longer references them).
+        Returns rows written."""
+        snap = self.current_snapshot()
+        out_file = os.path.join(self.data_dir, f"rewrite-{uuid.uuid4().hex}")
+        df.write.mode("overwrite").parquet(out_file)
+        written = self.spark.read.parquet(out_file)
+        n = written.count()
+        stats = {}
+        if self.partition_col is not None and n:
+            r = written.agg(
+                F.min(self.partition_col).alias("lo"), F.max(self.partition_col).alias("hi")
+            ).collect()[0]
+            stats = {"min_part": r["lo"], "max_part": r["hi"]}
+        new_snap = {
+            "version": snap["version"] + 1,
+            "files": [{"path": out_file, "rows": n, **stats}] if n else [],
+            "batch_ids": snap["batch_ids"],
+            "lineage": snap["lineage"]
+            + [{"batch_id": None, "note": note, "files": [out_file], "rows": n,
+                "ts": time.time()}],
+        }
+        self._commit(new_snap)
+        return n

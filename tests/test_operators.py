@@ -149,3 +149,48 @@ def test_scorer_determinism_and_valence(spark):
     assert by_text["terrible slow failure"].DominantValence == 2
     assert by_text["great and terrible"].DominantValence == 3
     assert "nothing scoring here zzz" not in by_text
+
+
+def test_single_band_misses_pairs_multiband_finds(spark):
+    """OR-amplification is load-bearing for the embedding near-dup DEDUP
+    operator: at the injected twins' cosine (~0.983) a single 8-plane
+    band's collision probability is well under 1, so the single-band
+    variant must silently miss >=1 true pair that the multi-band detector
+    finds — and the multi-band detector must find EVERY injected twin
+    pair (verified against the ground-truth twin construction)."""
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    multi = similarity.dedup_embedding_cosine(spark, sf).toPandas()
+    single = similarity.dedup_embedding_cosine_single_band(spark, sf).toPandas()
+    multi_pairs = set(zip(multi.doc_a, multi.doc_b))
+    single_pairs = set(zip(single.doc_a, single.doc_b))
+    assert single_pairs <= multi_pairs
+    assert len(multi_pairs - single_pairs) >= 1, (
+        "single band should provably miss at least one injected pair"
+    )
+    # ground truth: every 20th vector (vec_id % 20 == 3) has a twin at
+    # vec_id + OFFSET, and the perturbation keeps cosine >= threshold
+    n = spark.read.parquet(f"{sf}/embeddings.parquet").count()
+    expected = {
+        (v, v + similarity.COSINE_DUP_OFFSET)
+        for v in range(n)
+        if v % similarity.COSINE_DUP_EVERY == 3
+    }
+    assert multi_pairs == expected
+    assert (multi.cosine >= similarity.COSINE_DUP_THRESHOLD).all()
+
+
+def test_ivf_lists_balanced(spark):
+    """The trained quantizer's point: inverted lists stay balanced, so the
+    list-id shuffle key cannot become the skew key at scale. With the
+    round-3 untrained stub (centroids = first 8 vectors) the max/mean
+    list-size ratio exceeded 2; trained k-means keeps it tight."""
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    asg = similarity.similarity_ivf_assignments(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas()
+    sizes = asg.groupby("cent_id").size()
+    assert len(sizes) == similarity.IVF_CENTROIDS, "an inverted list is empty"
+    assert sizes.max() / sizes.mean() <= 2.0, sorted(sizes.tolist())

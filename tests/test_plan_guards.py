@@ -116,10 +116,14 @@ def test_ivf_and_cosine_dedup_plans_clean(spark):
     from dataflow_opinion_analysis_spark.operators import similarity
 
     # scored (vectors x 8-row centroids) is referenced by both `assigned`
-    # and `probes`, so the tiny-side BNL appears up to 3 times in the tree
+    # and `probes`, so the tiny-side BNL appears up to 3 times in the tree.
+    # The multi-band cosine dedup's only BNL is the 1-row `planes` constant;
+    # CTE inlining replays it once per band arm per self-join side
+    # (2 * EMB_DUP_BANDS) — every instance a broadcast of ONE literal row,
+    # scale-free by construction.
     for fn, max_bnl in (
         (similarity.similarity_ann_ivf, 3),
-        (similarity.dedup_embedding_cosine, 2),
+        (similarity.dedup_embedding_cosine, 2 * similarity.EMB_DUP_BANDS),
     ):
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
