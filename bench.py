@@ -68,6 +68,45 @@ def main() -> int:
     timings["indexer_pipeline_generated"] = round(wall, 3)
     turns_per_sec = round(n_turns / wall, 1)
 
+    # streaming headline — the BASELINE.json metric verbatim: end-to-end
+    # turns/sec and watermark lag to the exactly-once sentiment sink on
+    # the transcripts stream (same generated input, 8-file triggers, soft
+    # dedupe off to match the batch headline's configuration)
+    stream_tps = stream_steady_tps = stream_lag = None
+    try:
+        import shutil as _sh
+
+        from dataflow_opinion_analysis_spark.streaming.pipeline import (
+            run_indexer_stream,
+        )
+
+        sroot = tempfile.mkdtemp(prefix="bench_stream_")
+        t0 = time.perf_counter()
+        q, sinks = run_indexer_stream(
+            spark, data, os.path.join(sroot, "out"), os.path.join(sroot, "ckpt"),
+            watermark="10 minutes", max_files_per_trigger=8,
+            soft_dedupe_enabled=False,
+        )
+        q.processAllAvailable()
+        q.stop()
+        swall = time.perf_counter() - t0
+        n_stream = sinks.sentiment.read().count()
+        timings["indexer_stream_generated"] = round(swall, 3)
+        stream_tps = round(n_turns / swall, 1)
+        if sinks.query_metrics is not None:
+            for _ in range(50):
+                if sinks.query_metrics.rows:
+                    break
+                time.sleep(0.2)
+            s = sinks.query_metrics.summary()
+            stream_lag = s.get("median_watermark_lag_sec")
+            stream_steady_tps = s.get("steady_rows_per_sec")
+        spark.streams.removeListener(sinks.query_metrics)
+        _sh.rmtree(sroot, ignore_errors=True)
+        assert n_stream > 0
+    except Exception as e:  # noqa: BLE001
+        print(f"bench: streaming headline failed: {e}", file=sys.stderr)
+
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(
         json.dumps(
@@ -79,6 +118,9 @@ def main() -> int:
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "indexer_turns_per_sec": turns_per_sec,
                 "indexer_bench_turns": n_turns,
+                "streaming_turns_per_sec": stream_tps,
+                "streaming_steady_turns_per_sec": stream_steady_tps,
+                "streaming_watermark_lag_sec": stream_lag,
             }
         )
     )

@@ -3,8 +3,14 @@
 
 Attach a listener to the session and every micro-batch's progress is
 appended to a JSONL file + kept in memory: processedRowsPerSecond,
-input rows, batch duration, event-time watermark, and watermark lag
-(wall clock - watermark). ``summary()`` aggregates the run.
+input rows, batch duration, event-time watermark, and watermark lag.
+
+Watermark lag is measured in EVENT time (BASELINE.md: "eventTime.watermark
+vs max input ts per micro-batch"): running max of the per-batch
+``eventTime.max`` minus the current watermark. Wall-clock lag
+(now - watermark) is recorded beside it but is meaningless on synthetic
+corpora whose event timestamps are historical. ``summary()`` aggregates
+the run.
 """
 
 from __future__ import annotations
@@ -29,6 +35,7 @@ class ThroughputListener(StreamingQueryListener):
     def __init__(self, out_path: str | None = None):
         self.out_path = out_path
         self.rows: list[dict] = []
+        self._max_event_ts: _dt.datetime | None = None
         if out_path:
             os.makedirs(os.path.dirname(out_path), exist_ok=True)
 
@@ -37,15 +44,30 @@ class ThroughputListener(StreamingQueryListener):
 
     def onQueryProgress(self, event):  # noqa: N802
         p = event.progress
-        wm = _parse_ts((p.eventTime or {}).get("watermark"))
+        et = p.eventTime or {}
+        wm = _parse_ts(et.get("watermark"))
+        batch_max = _parse_ts(et.get("max"))
+        if batch_max is not None and (
+            self._max_event_ts is None or batch_max > self._max_event_ts
+        ):
+            self._max_event_ts = batch_max
         now = _dt.datetime.now(_dt.timezone.utc)
         rec = {
             "batch_id": p.batchId,
             "num_input_rows": p.numInputRows,
             "processed_rows_per_second": p.processedRowsPerSecond,
             "batch_duration_ms": (p.durationMs or {}).get("triggerExecution"),
-            "watermark": (p.eventTime or {}).get("watermark"),
-            "watermark_lag_sec": (now - wm).total_seconds() if wm else None,
+            "watermark": et.get("watermark"),
+            "max_event_ts": et.get("max"),
+            # the north-rule lag: how far the watermark trails the newest
+            # event seen so far (== watermark delay + trigger latency once
+            # the stream is steady)
+            "watermark_lag_sec": (
+                (self._max_event_ts - wm).total_seconds()
+                if wm and self._max_event_ts
+                else None
+            ),
+            "wall_watermark_lag_sec": (now - wm).total_seconds() if wm else None,
             "state_rows": sum(
                 s.numRowsTotal for s in (p.stateOperators or [])
             )
@@ -70,11 +92,19 @@ class ThroughputListener(StreamingQueryListener):
         total_rows = sum(r["num_input_rows"] for r in data)
         total_ms = sum(r["batch_duration_ms"] or 0 for r in data)
         lags = [r["watermark_lag_sec"] for r in data if r["watermark_lag_sec"] is not None]
+        # steady-state throughput: drop the first data batch, which carries
+        # the one-time stream-startup ramp (Python worker pool, codegen)
+        steady = data[1:] if len(data) > 1 else data
+        steady_rows = sum(r["num_input_rows"] for r in steady)
+        steady_ms = sum(r["batch_duration_ms"] or 0 for r in steady)
         return {
             "batches": len(data),
             "total_rows": total_rows,
             "wall_sec_in_batches": round(total_ms / 1000.0, 2),
             "rows_per_sec": round(total_rows / (total_ms / 1000.0), 1) if total_ms else None,
+            "steady_rows_per_sec": (
+                round(steady_rows / (steady_ms / 1000.0), 1) if steady_ms else None
+            ),
             "max_state_rows": max(r["state_rows"] for r in data),
             "final_watermark": data[-1]["watermark"],
             "median_watermark_lag_sec": sorted(lags)[len(lags) // 2] if lags else None,

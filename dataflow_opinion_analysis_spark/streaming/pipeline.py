@@ -35,7 +35,9 @@ turns (behind the watermark) are counted in ``metrics`` instead of sunk.
 
 from __future__ import annotations
 
+import concurrent.futures as _futures
 import os
+import uuid as _uuid
 from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
@@ -67,6 +69,24 @@ METRICS_SCHEMA = (
 CONTENT_INDEX_SCHEMA = (
     "content_hash string, winner_document_hash string, pub_date_id int"
 )
+
+
+def _write_metrics_row(metrics_dir: str, *, max_event_ts, **counts) -> None:
+    """Append one per-batch metrics row as a parquet file, written
+    driver-side with pyarrow: the row is driver-local lineage data and a
+    distributed write job for a single row is pure scheduler overhead.
+    Readable by ``spark.read.parquet(metrics_dir)`` (tests do exactly
+    that) — column set mirrors METRICS_SCHEMA."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    os.makedirs(metrics_dir, exist_ok=True)
+    cols = {k: pa.array([v], type=pa.int64()) for k, v in counts.items()}
+    cols["max_event_ts"] = pa.array([max_event_ts], type=pa.timestamp("us"))
+    table = pa.table(cols)
+    tmp = os.path.join(metrics_dir, f".tmp-{_uuid.uuid4().hex}.parquet")
+    pq.write_table(table, tmp)
+    os.rename(tmp, os.path.join(metrics_dir, f"part-{_uuid.uuid4().hex}.parquet"))
 
 
 @dataclass
@@ -270,21 +290,30 @@ def process_batch(
     if soft_dupes is not None:
         wr = wr.unionByName(fanout.webresource_rows(soft_dupes, "winner_document_hash"))
 
-    n_docs = sinks.document.merge(document, batch_id)
-    n_sents = sinks.sentiment.merge(sentiment, batch_id)
-    sinks.webresource.merge(wr, batch_id)
+    # the three sink merges are independent (different tables, different
+    # manifest chains) — run them as concurrent Spark jobs so a micro-batch
+    # pays max(merge walls), not their sum. Threads are the idiomatic way
+    # to submit concurrent jobs from one driver; each merge's commit is
+    # still atomic per table.
+    with _futures.ThreadPoolExecutor(max_workers=3) as pool:
+        f_docs = pool.submit(sinks.document.merge, document, batch_id)
+        f_sents = pool.submit(sinks.sentiment.merge, sentiment, batch_id)
+        f_wr = pool.submit(sinks.webresource.merge, wr, batch_id)
+        n_docs = f_docs.result()
+        n_sents = f_sents.result()
+        f_wr.result()
 
     max_ts = stats.max_ts
     # dupe counts are diagnostics only; -1 when skipped (recomputing them
     # would re-run the scorer chain)
     n_exact, n_soft = -1, -1
-    metrics = spark.createDataFrame(
-        [(int(batch_id), int(n_input), int(n_input - n_late - n_overflow),
-          int(n_late), int(n_overflow), int(n_exact), int(n_soft),
-          int(n_docs), int(n_sents), max_ts)],
-        METRICS_SCHEMA,
+    _write_metrics_row(
+        sinks.metrics_dir, batch_id=int(batch_id), n_input=int(n_input),
+        n_ok=int(n_input - n_late - n_overflow), n_late=int(n_late),
+        n_overflow=int(n_overflow), n_exact_dupes=int(n_exact),
+        n_soft_dupes=int(n_soft), n_documents=int(n_docs),
+        n_sentiments=int(n_sents), max_event_ts=max_ts,
     )
-    metrics.write.mode("append").parquet(sinks.metrics_dir)
 
     for df in persisted:
         df.unpersist()

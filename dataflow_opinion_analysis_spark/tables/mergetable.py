@@ -35,7 +35,7 @@ import os
 import time
 import uuid
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -126,29 +126,52 @@ class MergeTable:
         if batch_id in snap["batch_ids"]:
             return 0
 
-        # in-batch key dedupe (deterministic smallest-first keeps goldens stable)
-        w = batch.dropDuplicates(self.key_cols)
+        # in-batch key dedupe (deterministic smallest-first keeps goldens
+        # stable). Persisted: the incoming frame is typically a lazy Arrow
+        # fan-out chain, and without the persist both the bounds agg below
+        # and the anti-join+write would re-run that whole chain.
+        deduped = batch.dropDuplicates(self.key_cols).persist()
+        try:
+            # partition-stat bounds of the incoming batch (for file pruning);
+            # pointless when the table has no files yet
+            min_part = max_part = None
+            if self.partition_col is not None and snap["files"]:
+                b = deduped.agg(
+                    F.min(self.partition_col).alias("lo"),
+                    F.max(self.partition_col).alias("hi"),
+                ).collect()[0]
+                min_part, max_part = b["lo"], b["hi"]
 
-        # partition-stat bounds of the incoming batch (for file pruning)
-        min_part = max_part = None
-        if self.partition_col is not None:
-            b = w.agg(
-                F.min(self.partition_col).alias("lo"), F.max(self.partition_col).alias("hi")
-            ).collect()[0]
-            min_part, max_part = b["lo"], b["hi"]
+            w = deduped
+            existing_files = self.files(min_part, max_part)
+            if existing_files:
+                existing_keys = self.spark.read.parquet(*existing_files).select(
+                    self.key_cols
+                )
+                w = w.join(existing_keys, self.key_cols, "left_anti")
 
-        existing_files = self.files(min_part, max_part)
-        if existing_files:
-            existing_keys = self.spark.read.parquet(*existing_files).select(self.key_cols)
-            w = w.join(existing_keys, self.key_cols, "left_anti")
+            # row count + partition stats of what actually lands are
+            # observed DURING the write job (pyspark Observation) — no
+            # read-the-file-back verification pass, which matters when
+            # merge() runs once per sink per micro-batch
+            obs_aggs = [F.count(F.lit(1)).alias("n")]
+            if self.partition_col is not None:
+                obs_aggs += [
+                    F.min(self.partition_col).alias("lo"),
+                    F.max(self.partition_col).alias("hi"),
+                ]
+            obs = Observation()
+            w = w.observe(obs, *obs_aggs)
 
-        out_file = os.path.join(
-            self.data_dir, f"batch-{batch_id:08d}-{uuid.uuid4().hex}"
-        )
-        w.write.mode("overwrite").parquet(out_file)
+            out_file = os.path.join(
+                self.data_dir, f"batch-{batch_id:08d}-{uuid.uuid4().hex}"
+            )
+            w.write.mode("overwrite").parquet(out_file)
+            wrow = obs.get
+        finally:
+            deduped.unpersist()
 
-        written = self.spark.read.parquet(out_file)
-        n = written.count()
+        n = wrow["n"]
         if n == 0:
             # nothing new — still record the batch id so replays skip work
             new_snap = {
@@ -163,10 +186,7 @@ class MergeTable:
 
         stats = {}
         if self.partition_col is not None:
-            r = written.agg(
-                F.min(self.partition_col).alias("lo"), F.max(self.partition_col).alias("hi")
-            ).collect()[0]
-            stats = {"min_part": r["lo"], "max_part": r["hi"]}
+            stats = {"min_part": wrow["lo"], "max_part": wrow["hi"]}
 
         fe = {"path": out_file, "rows": n, **stats}
         new_snap = {
