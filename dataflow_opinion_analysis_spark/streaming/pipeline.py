@@ -290,6 +290,12 @@ def process_batch(
     if soft_dupes is not None:
         wr = wr.unionByName(fanout.webresource_rows(soft_dupes, "winner_document_hash"))
 
+    # materialize the winners cache ONCE before the concurrent merges: all
+    # three sink frames are Arrow fan-outs over it, and concurrent jobs
+    # racing an unmaterialized cache each recompute the NLP chain for
+    # partitions not yet stored
+    soft_winners.count()
+
     # the three sink merges are independent (different tables, different
     # manifest chains) — run them as concurrent Spark jobs so a micro-batch
     # pays max(merge walls), not their sum. Threads are the idiomatic way

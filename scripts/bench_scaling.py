@@ -107,7 +107,7 @@ for it in range(3):
         out_root = os.path.join({out_root!r}, f"it{{it}}")
         q, sinks = run_indexer_stream(
             spark, {data!r}, out_root, os.path.join(out_root, "ckpt"),
-            watermark="10 minutes", max_files_per_trigger=4,
+            watermark="10 minutes", max_files_per_trigger={trigger},
             soft_dedupe_enabled=False,
         )
         q.processAllAvailable()
@@ -162,9 +162,12 @@ def wait_for_quiet(max_wait_s: float = 600.0) -> int:
     return prev
 
 
-def run_one(cores: int, data: str, n_turns: int, mode: str) -> dict:
+def run_one(cores: int, data: str, n_turns: int, mode: str, trigger: int = 16) -> dict:
     out_root = tempfile.mkdtemp(prefix=f"bench_sink_{cores}_")
-    code = WORKER.format(repo=REPO, cores=cores, data=data, mode=mode, out_root=out_root)
+    code = WORKER.format(
+        repo=REPO, cores=cores, data=data, mode=mode, out_root=out_root,
+        trigger=trigger,
+    )
     r = subprocess.run(
         [sys.executable, "-c", code], capture_output=True, text=True, check=False
     )
@@ -191,6 +194,10 @@ def main() -> int:
     ap.add_argument("--convs", type=int, default=200_000)
     ap.add_argument("--n", type=int, default=2, help="small parallelism N (big is 4N)")
     ap.add_argument("--mode", default="batch", choices=["batch", "stream"])
+    ap.add_argument("--trigger", type=int, default=16,
+                    help="stream mode: maxFilesPerTrigger (64 input files; "
+                    "16 -> 4 micro-batches — throughput configuration; "
+                    "smaller triggers measure latency, not sustained tps)")
     ap.add_argument("--data", default=None, help="reuse existing transcripts dir")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-md", action="store_true", help="don't rewrite BENCH/BASELINE.md")
@@ -223,7 +230,7 @@ def main() -> int:
                 pre = wait_for_quiet()
             else:
                 pre = cpu_probe()
-            obs[cores] = run_one(cores, data, n_turns, args.mode)
+            obs[cores] = run_one(cores, data, n_turns, args.mode, args.trigger)
             probes[cores] = (pre, cpu_probe())  # bracket: before + after
         eff = round((obs[big_c]["steady_tps"] / obs[small_c]["steady_tps"]) / 4, 3)
         cold_eff = round((obs[big_c]["cold_tps"] / obs[small_c]["cold_tps"]) / 4, 3)
@@ -255,6 +262,7 @@ def main() -> int:
     result = {
         "metric": "indexer_turns_per_sec_scaling",
         "mode": args.mode,
+        "trigger_files": args.trigger if args.mode == "stream" else None,
         "n_turns": n_turns,
         "n_small": small_c,
         "n_big": big_c,
