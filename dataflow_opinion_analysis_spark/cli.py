@@ -73,6 +73,7 @@ def cmd_stream(args) -> int:
         enrich_ratio=args.enrich_ratio,
         strict_scoring=args.strict_scoring,
         cross_batch_near_dedupe=args.cross_batch_near_dedupe,
+        state_store=args.state_store,
     )
     if args.drain:
         q.processAllAvailable()
@@ -208,6 +209,10 @@ def main(argv: list[str] | None = None) -> int:
     # durable MinHash fingerprint store: catch near-dups arriving
     # micro-batches after the original
     p.add_argument("--cross-batch-near-dedupe", action="store_true")
+    # rocksdb = off-heap/on-disk keyed state for live-session state larger
+    # than executor memory (Spark's bundled provider; changelog
+    # checkpointing enabled)
+    p.add_argument("--state-store", choices=["hdfs", "rocksdb"], default="hdfs")
     p.add_argument("--drain", action="store_true", help="process available input then exit")
     p.set_defaults(fn=cmd_stream)
 

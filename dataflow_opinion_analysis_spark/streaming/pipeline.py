@@ -341,14 +341,38 @@ def run_indexer_stream(
     strict_scoring: bool = False,
     cross_batch_near_dedupe: bool = False,
     metrics_listener: bool = True,
+    state_store: str = "hdfs",
 ):
     """Start the streaming indexer; returns (query, sinks).
+
+    ``state_store``: ``"hdfs"`` (default) keeps keyed thread state in
+    executor heap with per-batch delta files — fine up to millions of
+    live conversations. ``"rocksdb"`` switches the session to Spark's
+    bundled RocksDB state-store provider: state lives off-heap/on-disk
+    per partition, which is the configuration a real deployment needs
+    when live-session state exceeds executor memory (10^12-turn scale).
+    The setting is session-wide and read at query start, so it applies
+    to queries started after this call.
 
     ``metrics_listener=True`` (default) attaches the throughput /
     watermark-lag listener (streaming/metrics.py): every micro-batch's
     processedRowsPerSecond, duration, watermark and lag is appended to
     ``<out_root>/query_metrics.jsonl``; the listener object is exposed as
     ``sinks.query_metrics`` for ``summary()``."""
+    if state_store == "rocksdb":
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.providerClass",
+            "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider",
+        )
+        # changelog checkpointing: upload per-batch change files instead of
+        # full SST snapshots — the restart-latency configuration for large
+        # stores
+        spark.conf.set(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled",
+            "true",
+        )
+    elif state_store != "hdfs":
+        raise ValueError(f"unknown state_store {state_store!r} (hdfs|rocksdb)")
     sinks = IndexerSinks.create(spark, out_root)
     if metrics_listener:
         from dataflow_opinion_analysis_spark.streaming import metrics as _metrics

@@ -335,17 +335,22 @@ def write_md(result: dict) -> None:
     if os.path.exists(runs_path):
         with open(runs_path) as f:
             allruns = json.load(f)
-        latest_by_n = {}
+        latest_by_cfg = {}
         for r in allruns:
-            if r.get("n_small") != result["n_small"]:
-                latest_by_n[r["n_small"]] = r
-        extra = list(latest_by_n.values())
+            cfg = (r.get("mode", "batch"), r.get("n_small"))
+            if cfg != (result["mode"], result["n_small"]):
+                latest_by_cfg[cfg] = r
+        extra = list(latest_by_cfg.values())
     if extra:
         lines += ["", "## Other configurations (latest run each; raw in scaling_runs.json)", ""]
         for r in extra:
             clean = [p for p in r["pairs"] if not p["noisy"]]
+            trig = (
+                f", trigger {r['trigger_files']} files"
+                if r.get("trigger_files") else ""
+            )
             lines.append(
-                f"- local[{r['n_small']}] -> local[{r['n_big']}] ({r['ts']}): "
+                f"- **{r.get('mode', 'batch')}** local[{r['n_small']}] -> local[{r['n_big']}]{trig} ({r['ts']}): "
                 f"median steady eff **{r['median_pair_efficiency']}** (cold {r['median_cold_efficiency']}), "
                 f"{len(clean)}/{len(r['pairs'])} clean pairs, "
                 f"tps {r['median_small_tps']} -> {r['median_big_tps']}. "

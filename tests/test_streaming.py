@@ -397,3 +397,66 @@ def test_query_metrics_listener(spark, tmp_path):
     assert any(r["num_input_rows"] for r in recs)
     assert any(r.get("watermark_lag_sec") is not None for r in recs)
     spark.streams.removeListener(sinks.query_metrics)
+
+
+def test_conversation_state_removed_after_session_gap(spark, tmp_path):
+    """Regression: conversation state must be REMOVED once the event-time
+    session gap elapses. The cleanup branch used to re-arm the seen-map
+    timeout on every fire, retaining every conversation ever seen —
+    O(history) state-store growth, which the north rule forbids
+    (session-window state must stay bounded at 10^12-turn scale)."""
+    import time as _time
+
+    path = _gen(tmp_path, n_convs=40, avg_turns=6)
+    _append_flush(spark, path)
+    sinks = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt", soft=False)
+    for _ in range(50):
+        if sinks.query_metrics.rows:
+            break
+        _time.sleep(0.2)
+    rows = [r for r in sinks.query_metrics.rows if r["num_input_rows"]]
+    assert rows, "listener recorded no batches"
+    peak = max(r["state_rows"] for r in rows)
+    final = rows[-1]["state_rows"]
+    # state grows while conversations are live...
+    assert peak >= 10, f"expected live conversation state, peak={peak}"
+    # ...but the final flush batch pushes the watermark 30+ minutes past
+    # every real conversation's last turn: their states must all be gone
+    # (only the flush sentinel's own state may remain pending)
+    assert final <= 2, f"state not cleaned up: {final} rows remain (peak {peak})"
+    spark.streams.removeListener(sinks.query_metrics)
+
+
+def test_rocksdb_state_store(spark, tmp_path):
+    """The streaming indexer runs unchanged on Spark's RocksDB state-store
+    provider (the off-heap/on-disk configuration for live-session state
+    larger than executor memory) and produces the same documents as the
+    default provider/batch plan."""
+    path = _gen(tmp_path, n_convs=15)
+    _append_flush(spark, path)
+    try:
+        q, sinks = run_indexer_stream(
+            spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+            watermark="5 minutes", max_files_per_trigger=2,
+            soft_dedupe_enabled=False, state_store="rocksdb",
+        )
+        q.processAllAvailable()
+        _append_flush(spark, path, "2030-01-01 01:00:00", turn_idx=1)
+        q.processAllAvailable()
+        q.stop()
+        assert (
+            spark.conf.get("spark.sql.streaming.stateStore.providerClass")
+            .endswith("RocksDBStateStoreProvider")
+        )
+        stream_docs = _no_flush(sinks.document.read(), "CollectionItemId")
+        batch = build_indexer(
+            spark.read.parquet(path), persist=False, soft_dedupe_enabled=False
+        )
+        batch_docs = _no_flush(batch.document, "CollectionItemId")
+        assert sorted(r.DocumentHash for r in stream_docs.select("DocumentHash").collect()) == \
+            sorted(r.DocumentHash for r in batch_docs.select("DocumentHash").collect())
+    finally:
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+        spark.conf.unset(
+            "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
+        )
