@@ -242,7 +242,12 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
 
     from dataflow_opinion_analysis_spark import oracles_dataprep
     from dataflow_opinion_analysis_spark.functions import entities
-    from dataflow_opinion_analysis_spark.operators import dataprep, multimodal, similarity
+    from dataflow_opinion_analysis_spark.operators import (
+        dataprep,
+        llmprep,
+        multimodal,
+        similarity,
+    )
 
     dataprep_fns = {
         "text_entities": entities.text_entities,
@@ -260,6 +265,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "similarity_ann_ivf": similarity.similarity_ann_ivf,
         "multimodal_metadata": multimodal.multimodal_metadata,
+        "pack_sequences": llmprep.pack_sequences,
+        "sample_stratified": llmprep.sample_stratified,
+        "pii_scrub": llmprep.pii_scrub,
     }
     for name, fn in dataprep_fns.items():
         reg[name] = (fn, oracles_dataprep.DATAPREP_ORACLES.get(name))

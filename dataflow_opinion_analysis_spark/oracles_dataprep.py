@@ -464,7 +464,65 @@ SELECT doc_id,
 FROM documents
 """
 
+# --- LLM training-data prep (operators/llmprep.py) ---
+from dataflow_opinion_analysis_spark.operators import llmprep as _llm
+
+# oracle uses the naive single global cumsum — O(N) one-reducer is fine
+# in DuckDB at gate scale and provably equals the two-phase Spark plan
+PACK_SEQUENCES_SQL = f"""
+WITH base AS (
+  SELECT doc_id,
+         cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint) + 1 AS n_tokens
+  FROM documents
+),
+cum AS (
+  SELECT doc_id, n_tokens,
+         sum(n_tokens) OVER (ORDER BY doc_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+  FROM base
+)
+SELECT doc_id, n_tokens,
+  cast(cumtok - n_tokens AS bigint)                           AS start_offset,
+  cast((cumtok - n_tokens) // {_llm.PACK_CONTEXT_TOKENS} AS bigint) AS first_chunk,
+  cast((cumtok - 1) // {_llm.PACK_CONTEXT_TOKENS} AS bigint)  AS last_chunk,
+  cast((cumtok - 1) // {_llm.PACK_CONTEXT_TOKENS}
+    - (cumtok - n_tokens) // {_llm.PACK_CONTEXT_TOKENS} + 1 AS bigint) AS n_chunks
+FROM cum
+"""
+
+_DUCK_SAMPLE_U = (
+    "(cast(('0x' || substr(sha256(cast(doc_id AS varchar) || "
+    f"'{_llm.SAMPLE_SALT}'), 1, 8)) AS bigint) / 4294967296.0)"
+)
+SAMPLE_STRATIFIED_SQL = f"""
+SELECT doc_id, lang, round({_DUCK_SAMPLE_U}, 6) AS sample_u
+FROM documents
+WHERE {_DUCK_SAMPLE_U} < {_llm.SAMPLE_FRACTION}
+"""
+
+
+def _duck_pii_sql() -> str:
+    txt = _llm._pii_text_expr("duck")
+    scrubbed = txt
+    counts = []
+    for name, pat, repl in _llm.PII_PATTERNS:
+        counts.append(f"len(regexp_extract_all({txt}, '{pat}')) AS n_{name}")
+        scrubbed = f"regexp_replace({scrubbed}, '{pat}', '{repl}', 'g')"
+    return f"""
+SELECT doc_id,
+  {", ".join(counts)},
+  length({scrubbed})    AS scrubbed_len,
+  sha256({scrubbed})    AS scrubbed_hash
+FROM documents
+"""
+
+
+PII_SCRUB_SQL = _duck_pii_sql()
+
 DATAPREP_ORACLES: dict[str, str] = {
+    "pack_sequences": PACK_SEQUENCES_SQL,
+    "sample_stratified": SAMPLE_STRATIFIED_SQL,
+    "pii_scrub": PII_SCRUB_SQL,
     "dedup_exact": DEDUP_EXACT_SQL,
     "dedup_ngram_jaccard": DEDUP_NGRAM_JACCARD_SQL,
     "dedup_minhash_lsh": DEDUP_MINHASH_LSH_SQL,
