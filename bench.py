@@ -70,9 +70,10 @@ def main() -> int:
 
     # streaming headline — the BASELINE.json metric verbatim: end-to-end
     # turns/sec and watermark lag to the exactly-once sentiment sink on
-    # the transcripts stream (same generated input, 8-file triggers, soft
+    # the transcripts stream (same generated input, 16-file triggers, soft
     # dedupe off to match the batch headline's configuration)
     stream_tps = stream_steady_tps = stream_lag = None
+    prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         import shutil as _sh
 
@@ -81,10 +82,17 @@ def main() -> int:
         )
 
         sroot = tempfile.mkdtemp(prefix="bench_stream_")
+        # throughput configuration: 16-file triggers (4 micro-batches over
+        # the 64 input files) amortize the fixed per-batch cost, and the
+        # stateful operator's state width is pinned to one wave per core —
+        # state-store partitions are fixed at first checkpoint and never
+        # AQE-coalesce, so the session's 2x-cores batch shuffle width would
+        # double the per-batch state-harness overhead for no parallelism
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
         t0 = time.perf_counter()
         q, sinks = run_indexer_stream(
             spark, data, os.path.join(sroot, "out"), os.path.join(sroot, "ckpt"),
-            watermark="10 minutes", max_files_per_trigger=8,
+            watermark="10 minutes", max_files_per_trigger=16,
             soft_dedupe_enabled=False,
         )
         q.processAllAvailable()
@@ -106,6 +114,8 @@ def main() -> int:
         assert n_stream > 0
     except Exception as e:  # noqa: BLE001
         print(f"bench: streaming headline failed: {e}", file=sys.stderr)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev_sp)
 
     total = round(sum(v for v in timings.values() if v >= 0), 3)
     print(

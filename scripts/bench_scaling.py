@@ -386,8 +386,13 @@ def write_md(result: dict) -> None:
         "by this protocol's own rule) — recorded here, neither confirming",
         "nor refuting the clean-host 0.909. Note the trajectory under",
         "identical judge conditions: round-2 plan 0.53 on a QUIET host,",
-        "round-3 plan 0.74 on a BUSY host. Raw per-pair JSON for every",
-        "invocation: BENCH/scaling_runs.json.",
+        "round-3 plan 0.74 on a BUSY host. Round 4 measured the",
+        "STREAMING engine itself (the north rule's tier) at 0.827",
+        "steady-state — 3/3 clean pairs (0.927/0.827/0.724), 16-file",
+        "triggers, state width pinned 32 both sides — after cutting the",
+        "per-micro-batch fixed overhead (persist-once merge inputs,",
+        "fused state+assembly stage, event-time lag metric). Raw",
+        "per-pair JSON for every invocation: BENCH/scaling_runs.json.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
