@@ -132,7 +132,10 @@ def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
     their uniforms, so the oracle verifies the exact kept set."""
     _docs(spark, sf_dir)
     key = f"concat(cast(doc_id AS string), '{SAMPLE_SALT}')"
-    u = f"(cast({_spark_hash_u(key)} AS bigint) / 4294967296.0)"
+    # divide by a DOUBLE: a bare `4294967296.0` literal is DECIMAL in
+    # Spark SQL, which would type sample_u (and its 6-dp round) as
+    # DECIMAL instead of DOUBLE — DuckDB's is DOUBLE
+    u = f"(cast({_spark_hash_u(key)} AS bigint) / cast(4294967296 AS double))"
     return spark.sql(
         f"""
 SELECT doc_id, lang, round({u}, 6) AS sample_u

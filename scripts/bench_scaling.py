@@ -374,6 +374,15 @@ def write_md(result: dict) -> None:
         "quiet-host floor (170 Miter/s). Noisy pairs are excluded from the",
         "median; their efficiencies are shown above, unhidden.",
         "",
+        "Reproduce the headline (streaming engine, ~1h incl. quiet waits):",
+        "",
+        "    python scripts/bench_scaling.py --mode stream \\",
+        "        --turns 500000 --convs 50000 --repeats 3",
+        "",
+        "Batch mode: drop --mode (default 2M turns). NOTE: run nothing",
+        "else on the host during a measurement — a concurrent pytest or",
+        "Spark job reads as co-tenancy and poisons/flags the pair.",
+        "",
         "History: round 1 appended unpaired best-of-N runs (one 0.98",
         "outlier, ten runs 0.047-0.36 — discarded as protocol-invalid);",
         "round 2's paired cold-run protocol measured **median efficiency",
