@@ -72,7 +72,7 @@ def main() -> int:
     # turns/sec and watermark lag to the exactly-once sentiment sink on
     # the transcripts stream (same generated input, 16-file triggers, soft
     # dedupe off to match the batch headline's configuration)
-    stream_tps = stream_steady_tps = stream_lag = None
+    stream_tps = stream_steady_tps = stream_lag = stream_final_lag = None
     prev_sp = spark.conf.get("spark.sql.shuffle.partitions")
     try:
         import shutil as _sh
@@ -108,6 +108,7 @@ def main() -> int:
                 time.sleep(0.2)
             s = sinks.query_metrics.summary()
             stream_lag = s.get("median_watermark_lag_sec")
+            stream_final_lag = s.get("final_watermark_lag_sec")
             stream_steady_tps = s.get("steady_rows_per_sec")
         spark.streams.removeListener(sinks.query_metrics)
         _sh.rmtree(sroot, ignore_errors=True)
@@ -131,6 +132,7 @@ def main() -> int:
                 "streaming_turns_per_sec": stream_tps,
                 "streaming_steady_turns_per_sec": stream_steady_tps,
                 "streaming_watermark_lag_sec": stream_lag,
+                "streaming_final_watermark_lag_sec": stream_final_lag,
             }
         )
     )

@@ -46,6 +46,10 @@ class ThroughputListener(StreamingQueryListener):
         p = event.progress
         et = p.eventTime or {}
         wm = _parse_ts(et.get("watermark"))
+        if wm is not None and wm.timestamp() == 0:
+            # pre-initialization watermark (epoch): no lag yet, not a
+            # multi-decade one
+            wm = None
         batch_max = _parse_ts(et.get("max"))
         if batch_max is not None and (
             self._max_event_ts is None or batch_max > self._max_event_ts
@@ -108,6 +112,12 @@ class ThroughputListener(StreamingQueryListener):
             "max_state_rows": max(r["state_rows"] for r in data),
             "final_watermark": data[-1]["watermark"],
             "median_watermark_lag_sec": sorted(lags)[len(lags) // 2] if lags else None,
+            # lag once the stream has drained its backlog: watermark delay
+            # + the event-time span of the last trigger — the number a
+            # caught-up continuous deployment would sit at (the median
+            # above is dominated by archive-replay backlog, i.e. trigger
+            # size x event-time density of the historical input)
+            "final_watermark_lag_sec": data[-1]["watermark_lag_sec"],
         }
 
 

@@ -391,6 +391,9 @@ def test_query_metrics_listener(spark, tmp_path):
     assert s["batches"] >= 1
     assert s["total_rows"] > 0
     assert s["rows_per_sec"] is None or s["rows_per_sec"] > 0
+    # caught-up lag: last-trigger lag only, never the 1970 pre-init sentinel
+    fl = s["final_watermark_lag_sec"]
+    assert fl is None or 0 <= fl < 10 * 365 * 86400
     mfile = _os.path.join(str(tmp_path / "out"), "query_metrics.jsonl")
     assert _os.path.exists(mfile)
     recs = [_json.loads(l) for l in open(mfile)]
