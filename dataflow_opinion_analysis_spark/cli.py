@@ -6,8 +6,9 @@ a CLI driven by spark-submit / Airflow is the idiomatic Spark shape.
 
 Usage (local or cluster):
 
-  spark-submit --py-files dataflow_opinion_analysis_spark.zip \
-      -m dataflow_opinion_analysis_spark.cli index \
+  python scripts/make_pyfiles_zip.py   # -> dist/dataflow_opinion_analysis_spark.zip
+  spark-submit --py-files dist/dataflow_opinion_analysis_spark.zip \
+      scripts/submit_cli.py index \
       --input /path/transcripts --output /path/warehouse
 
 Subcommands:
