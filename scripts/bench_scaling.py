@@ -44,9 +44,17 @@ scaling; 8 threads fit inside the capacity floor, so the pair stays
 comparable through host swings. --n 4 / --n 8 produce the 16- and
 32-thread points (the saturation regime of a single shared memory bus).
 
+Weak-scaling mode (--weak): the 4N side processes a 4x-turn input, so
+per-core work is constant — the shape that models growing a cluster WITH
+the data (a 1000-executor deployment sees 100 TB, not the 8-executor
+slice). Efficiency is the same (tps_4N / tps_N) / 4 ratio; ideal weak
+scaling keeps the WALL equal on both sides. Serial per-job overhead
+(planning, driver, barriers) is amortized by the larger input instead of
+magnified, which is exactly how it behaves on a real scale-out.
+
 Usage:
   python scripts/bench_scaling.py [--turns 2000000] [--n 2] [--repeats 3]
-                                  [--mode batch|stream] [--no-md]
+                                  [--mode batch|stream] [--weak] [--no-md]
 """
 
 from __future__ import annotations
@@ -199,6 +207,9 @@ def main() -> int:
                     "16 -> 4 micro-batches — throughput configuration; "
                     "smaller triggers measure latency, not sustained tps)")
     ap.add_argument("--data", default=None, help="reuse existing transcripts dir")
+    ap.add_argument("--weak", action="store_true",
+                    help="weak scaling: 4N side processes a 4x-turn input "
+                    "(constant per-core work)")
     ap.add_argument("--repeats", type=int, default=3)
     ap.add_argument("--no-md", action="store_true", help="don't rewrite BENCH/BASELINE.md")
     ap.add_argument("--no-wait-quiet", action="store_true",
@@ -207,20 +218,32 @@ def main() -> int:
 
     from dataflow_opinion_analysis_spark import datagen
 
-    data = args.data
-    if data is None:
-        data = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{args.turns}")
-        if not os.path.exists(os.path.join(data, "part-0000.parquet")):
-            print(f"generating {args.turns} turns -> {data}", file=sys.stderr)
+    def _ensure_data(turns: int, convs: int) -> str:
+        d = os.path.join(tempfile.gettempdir(), f"bench_transcripts_{turns}")
+        if not os.path.exists(os.path.join(d, "part-0000.parquet")):
+            print(f"generating {turns} turns -> {d}", file=sys.stderr)
             datagen.write_transcripts_parquet(
-                data, n_convs=args.convs, avg_turns=max(1, args.turns // args.convs),
+                d, n_convs=convs, avg_turns=max(1, turns // convs),
                 seed=42, n_files=64,
             )
+        return d
+
+    data = args.data or _ensure_data(args.turns, args.convs)
     import duckdb
 
-    n_turns = duckdb.sql(f"SELECT count(*) FROM '{data}/*.parquet'").fetchone()[0]
+    def _count(d: str) -> int:
+        return duckdb.sql(f"SELECT count(*) FROM '{d}/*.parquet'").fetchone()[0]
 
+    n_turns = _count(data)
     small_c, big_c = args.n, args.n * 4
+    # per-side (data, n_turns): weak mode gives the 4N side 4x the input
+    if args.weak:
+        if args.data:
+            raise SystemExit("--weak generates its own 4x dataset; drop --data")
+        data_big = _ensure_data(args.turns * 4, args.convs * 4)
+        side_data = {small_c: (data, n_turns), big_c: (data_big, _count(data_big))}
+    else:
+        side_data = {small_c: (data, n_turns), big_c: (data, n_turns)}
     pairs = []
     for i in range(args.repeats):
         order = [small_c, big_c] if i % 2 == 0 else [big_c, small_c]
@@ -230,7 +253,8 @@ def main() -> int:
                 pre = wait_for_quiet()
             else:
                 pre = cpu_probe()
-            obs[cores] = run_one(cores, data, n_turns, args.mode, args.trigger)
+            d, nt = side_data[cores]
+            obs[cores] = run_one(cores, d, nt, args.mode, args.trigger)
             probes[cores] = (pre, cpu_probe())  # bracket: before + after
         eff = round((obs[big_c]["steady_tps"] / obs[small_c]["steady_tps"]) / 4, 3)
         cold_eff = round((obs[big_c]["cold_tps"] / obs[small_c]["cold_tps"]) / 4, 3)
@@ -262,8 +286,10 @@ def main() -> int:
     result = {
         "metric": "indexer_turns_per_sec_scaling",
         "mode": args.mode,
+        "weak": bool(args.weak),
         "trigger_files": args.trigger if args.mode == "stream" else None,
         "n_turns": n_turns,
+        "n_turns_big": side_data[big_c][1],
         "n_small": small_c,
         "n_big": big_c,
         "median_small_tps": med_small,
@@ -303,7 +329,13 @@ def write_md(result: dict) -> None:
         "`scripts/bench_scaling.py`, not appended; see the script docstring",
         "for the paired-interleaved steady-state protocol).",
         "",
-        f"- mode: **{result['mode']}** indexer, {result['n_turns']} turns",
+        f"- mode: **{result['mode']}** indexer, {result['n_turns']} turns"
+        + (
+            f" at N / {result['n_turns_big']} turns at 4N (WEAK scaling — "
+            "constant per-core work)"
+            if result.get("weak")
+            else ""
+        ),
         f"- configuration: local[{result['n_small']}] vs local[{result['n_big']}], "
         "identical plans (shuffle width pinned to 32 on both sides)",
         f"- median steady-state throughput: {result['median_small_tps']} turns/s at "
@@ -337,8 +369,8 @@ def write_md(result: dict) -> None:
             allruns = json.load(f)
         latest_by_cfg = {}
         for r in allruns:
-            cfg = (r.get("mode", "batch"), r.get("n_small"))
-            if cfg != (result["mode"], result["n_small"]):
+            cfg = (r.get("mode", "batch"), r.get("n_small"), r.get("weak", False))
+            if cfg != (result["mode"], result["n_small"], result.get("weak", False)):
                 latest_by_cfg[cfg] = r
         extra = list(latest_by_cfg.values())
     if extra:
@@ -349,8 +381,9 @@ def write_md(result: dict) -> None:
                 f", trigger {r['trigger_files']} files"
                 if r.get("trigger_files") else ""
             )
+            weak = " WEAK (4x input at 4N)" if r.get("weak") else ""
             lines.append(
-                f"- **{r.get('mode', 'batch')}** local[{r['n_small']}] -> local[{r['n_big']}]{trig} ({r['ts']}): "
+                f"- **{r.get('mode', 'batch')}**{weak} local[{r['n_small']}] -> local[{r['n_big']}]{trig} ({r['ts']}): "
                 f"median steady eff **{r['median_pair_efficiency']}** (cold {r['median_cold_efficiency']}), "
                 f"{len(clean)}/{len(r['pairs'])} clean pairs, "
                 f"tps {r['median_small_tps']} -> {r['median_big_tps']}. "
