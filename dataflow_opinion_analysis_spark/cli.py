@@ -15,7 +15,12 @@ Subcommands:
   index      batch indexer: transcripts parquet -> webresource/document/
              sentiment parquet
   stream     streaming indexer with checkpointed exactly-once MERGE sinks
-  statscalc  refresh the stat* tables from the fact tables
+  statscalc  full rebuild of the stat* tables from the fact tables
+  statsrefresh delta-driven nightly refresh: recompute only the daily
+             partitions affected by rows committed since the last run
+  table-maintenance snapshot expiry + orphan-file vacuum on the sinks
+  socialstats JDBC social counts -> durable wrsocialcount
+  compact-fingerprints bound the near-dup fingerprint store
   datagen    deterministic synthetic transcripts generator
 """
 
@@ -148,6 +153,57 @@ def cmd_socialstats(args) -> int:
     return 0
 
 
+def cmd_statsrefresh(args) -> int:
+    """Nightly delta-driven stats refresh over the streaming sinks: read
+    only the document/webresource rows committed since the last refresh
+    (MergeTable incremental scan), recompute exactly the affected
+    SnapshotDateId partitions of the daily stat tables, advance the
+    durable cursor. The closed-loop production shape: `stream` ->
+    exactly-once sinks -> `statsrefresh` (vs `statscalc`'s full rebuild)."""
+    from dataflow_opinion_analysis_spark.plans.stats_incremental import (
+        IncrementalStatsConsumer,
+    )
+    from dataflow_opinion_analysis_spark.streaming.pipeline import IndexerSinks
+
+    spark = _spark(args)
+    sinks = IndexerSinks.create(spark, args.output)
+    social = None
+    if args.social_counts:
+        social = spark.read.parquet(args.social_counts).localCheckpoint(eager=True)
+    consumer = IncrementalStatsConsumer(
+        spark, args.store_root, sinks.document, sinks.sentiment,
+        sinks.webresource, social_counts=social,
+    )
+    r = consumer.refresh()
+    for name, days in r["days"].items():
+        print(f"{name}: recomputed {len(days)} day(s), "
+              f"{r['rows'].get(name, 0)} rows total")
+    print(f"cursor: {r['cursor']}")
+    spark.stop()
+    return 0
+
+
+def cmd_table_maintenance(args) -> int:
+    """Retention over the streaming MergeTable sinks: expire old snapshot
+    manifests and vacuum data files no retained snapshot references
+    (Iceberg expire_snapshots + remove_orphan_files). Keep enough
+    snapshots to cover any statsrefresh consumer's cursor — expired
+    versions can no longer be incrementally read."""
+    from dataflow_opinion_analysis_spark.streaming.pipeline import IndexerSinks
+
+    spark = _spark(args)
+    sinks = IndexerSinks.create(spark, args.output)
+    for name in ("webresource", "document", "sentiment", "content_index",
+                 "dead_letter", "fingerprints"):
+        t = getattr(sinks, name)
+        expired = t.expire_snapshots(keep_last=args.keep_snapshots)
+        deleted = t.vacuum()
+        print(f"{name}: expired {len(expired)} snapshot(s), "
+              f"deleted {len(deleted)} orphan file(s)")
+    spark.stop()
+    return 0
+
+
 def cmd_compact_fingerprints(args) -> int:
     """Maintenance: rewrite the streaming fingerprint store keeping the
     newest N fingerprints per soft key (the bound the read path already
@@ -233,6 +289,17 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--truncate", action="store_true",
                    help="WRITE_TRUNCATE semantics (skip the max-time filter)")
     p.set_defaults(fn=cmd_socialstats)
+
+    p = sub.add_parser("statsrefresh")
+    p.add_argument("--output", required=True, help="stream out_root holding the MergeTable sinks")
+    p.add_argument("--store-root", required=True, help="daily stats store (cursor lives here)")
+    p.add_argument("--social-counts", default=None)
+    p.set_defaults(fn=cmd_statsrefresh)
+
+    p = sub.add_parser("table-maintenance")
+    p.add_argument("--output", required=True, help="stream out_root holding the MergeTable sinks")
+    p.add_argument("--keep-snapshots", type=int, default=100)
+    p.set_defaults(fn=cmd_table_maintenance)
 
     p = sub.add_parser("compact-fingerprints")
     p.add_argument("--output", required=True, help="stream out_root holding the fingerprint store")

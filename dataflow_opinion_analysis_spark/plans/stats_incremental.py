@@ -23,6 +23,7 @@ from __future__ import annotations
 import os
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from dataflow_opinion_analysis_spark.plans import stats
 
@@ -82,3 +83,228 @@ class DailyStatsStore:
 
     def read(self) -> DataFrame:
         return self.spark.read.parquet(self.path)
+
+
+# ---------------------------------------------------------------------------
+# Delta-driven refresh: MergeTable incremental scan -> affected days ->
+# per-day DELETE+INSERT. This closes the loop the reference leaves manual
+# (its nightly run always recomputes fixed TimeMarkers T-1..; here the
+# affected-day set is DERIVED from exactly the rows the streaming indexer
+# committed since the consumer's last run).
+# ---------------------------------------------------------------------------
+
+def _day_ids(df: DataFrame | None, col: str) -> list[int]:
+    if df is None:
+        return []
+    return [r[0] for r in df.select(col).where(f"{col} IS NOT NULL").distinct().collect()]
+
+
+def _expand_days(spark: SparkSession, days: list[int], window: int) -> list[int]:
+    """Each yyyyMMdd day id -> the day ids [d, d+window] (calendar-aware;
+    integer +window would break across month ends)."""
+    if not days:
+        return []
+    rows = spark.range(1).selectExpr(
+        f"explode(array({', '.join(str(d) for d in sorted(set(days)))})) AS d"
+    ).selectExpr(
+        "explode(sequence(to_date(cast(d AS string), 'yyyyMMdd'), "
+        f"date_add(to_date(cast(d AS string), 'yyyyMMdd'), {window}), "
+        "interval 1 day)) AS sd"
+    ).selectExpr("cast(date_format(sd, 'yyyyMMdd') AS int) AS sd").distinct()
+    return [r.sd for r in rows.collect()]
+
+
+def _domain_days(spark: SparkSession, lo: int, hi: int) -> list[int]:
+    """Every calendar day id in [lo, hi] — the stats p-domain
+    (P_ALL_DAYS_SQL: sequence(min doc day, max doc day))."""
+    rows = spark.range(1).selectExpr(
+        f"explode(sequence(to_date(cast({lo} AS string), 'yyyyMMdd'), "
+        f"to_date(cast({hi} AS string), 'yyyyMMdd'), interval 1 day)) AS sd"
+    ).selectExpr("cast(date_format(sd, 'yyyyMMdd') AS int) AS sd")
+    return [r.sd for r in rows.collect()]
+
+
+def affected_snapshot_days(
+    spark: SparkSession,
+    doc_delta: DataFrame | None,
+    wr_delta: DataFrame | None = None,
+    document_full: DataFrame | None = None,
+    impact_window: int = stats.IMPACT_WINDOW_DAYS,
+    prev_domain: tuple[int, int] | None = None,
+) -> dict:
+    """Exact-or-superset affected SnapshotDateIds per daily table, given
+    the append deltas. Supersets are safe — each listed day is FULLY
+    recomputed from the complete fact views — only ever costing extra
+    per-day runs, never wrong rows.
+
+    - stattopic keys every CTE on the document's own day, so affected
+      days = delta docs' PublicationDateIds, plus (for new REPOST
+      webresources of previously-committed docs) the pointed-to doc's
+      day, resolved by joining the WR delta to the full document table.
+    - statstoryimpact spreads a doc over snapshots [d, d+window]; a new
+      repost/ social count at day w >= d affects snapshots [w, d+window]
+      subset-of [w, w+window], so both deltas expand by the window. The
+      expansion is clipped to the p-domain (P_ALL_DAYS_SQL: min..max doc
+      day — the reference's fromDate/toDate list), and days that NEWLY
+      ENTER the domain when it grows are added: an earlier doc's trailing
+      window can reach a gap day that only now exists as a snapshot day,
+      and that doc is not in this delta (prev_domain comes from the
+      consumer's cursor).
+
+    Returns {"stattopic": [...], "statstoryimpact": [...],
+    "domain": (lo, hi) | None}.
+    """
+    doc_days = _day_ids(doc_delta, "PublicationDateId")
+    repost_days: list[int] = []
+    wr_days: list[int] = []
+    if wr_delta is not None:
+        wr_days = _day_ids(wr_delta, "PublicationDateId")
+        if document_full is not None:
+            touched = (
+                wr_delta.select("DocumentHash")
+                .distinct()
+                .join(document_full, "DocumentHash")
+            )
+            repost_days = _day_ids(touched, "PublicationDateId")
+
+    domain: tuple[int, int] | None = None
+    domain_days: set[int] = set()
+    if document_full is not None:
+        b = document_full.agg(
+            F.min("PublicationDateId").alias("lo"),
+            F.max("PublicationDateId").alias("hi"),
+        ).collect()[0]
+        if b["lo"] is not None:
+            domain = (int(b["lo"]), int(b["hi"]))
+            domain_days = set(_domain_days(spark, *domain))
+    newly_in_domain = domain_days - (
+        set(_domain_days(spark, *prev_domain)) if prev_domain else set()
+    )
+    impact = set(_expand_days(spark, doc_days + wr_days, impact_window))
+    impact |= newly_in_domain
+    if domain_days:
+        impact &= domain_days
+    return {
+        "stattopic": sorted(set(doc_days) | set(repost_days)),
+        "statstoryimpact": sorted(impact),
+        "domain": domain,
+    }
+
+
+class IncrementalStatsConsumer:
+    """Cursor-tracked nightly-stats consumer over the indexer's exactly-
+    once MergeTable sinks.
+
+    ``refresh()`` reads only the rows committed since the last run
+    (MergeTable.incremental_read — the Iceberg append scan), derives the
+    affected SnapshotDateIds, recomputes exactly those partitions with
+    DELETE+INSERT semantics, and advances a durable cursor
+    (store_root/_cursor.json, atomic rename). Crash-safe ordering: the
+    cursor is written AFTER the day partitions commit, so a crash between
+    the two replays the same delta — per-day recompute is idempotent.
+
+    At 100 TB this is the difference between scanning the day's appended
+    files (GBs) and rescanning the documents table (TBs) just to find out
+    which days changed.
+    """
+
+    CURSOR = "_cursor.json"
+
+    def __init__(
+        self,
+        spark: SparkSession,
+        store_root: str,
+        document_table,
+        sentiment_table,
+        webresource_table,
+        social_counts: DataFrame | None = None,
+    ):
+        self.spark = spark
+        self.store_root = store_root
+        self.document_table = document_table
+        self.sentiment_table = sentiment_table
+        self.webresource_table = webresource_table
+        self.social_counts = social_counts
+        os.makedirs(store_root, exist_ok=True)
+
+    # -- cursor -------------------------------------------------------------
+    def _cursor_path(self) -> str:
+        return os.path.join(self.store_root, self.CURSOR)
+
+    def cursor(self) -> dict[str, int]:
+        import json
+
+        p = self._cursor_path()
+        if not os.path.exists(p):
+            return {"document": 0, "webresource": 0}
+        with open(p) as f:
+            return json.load(f)
+
+    def _save_cursor(self, cur: dict[str, int]) -> None:
+        import json
+        import uuid
+
+        p = self._cursor_path()
+        tmp = p + f".tmp-{uuid.uuid4().hex}"
+        with open(tmp, "w") as f:
+            json.dump(cur, f)
+        os.rename(tmp, p)
+
+    # -- refresh ------------------------------------------------------------
+    def refresh(self) -> dict:
+        cur = self.cursor()
+        doc_to = self.document_table.current_snapshot()["version"]
+        wr_to = self.webresource_table.current_snapshot()["version"]
+        doc_delta = (
+            self.document_table.incremental_read(cur["document"], doc_to)
+            if doc_to > cur["document"] else None
+        )
+        wr_delta = (
+            self.webresource_table.incremental_read(cur["webresource"], wr_to)
+            if wr_to > cur["webresource"] else None
+        )
+        if doc_delta is None and wr_delta is None:
+            self._save_cursor({**cur, "document": doc_to, "webresource": wr_to})
+            return {
+                "days": {name: [] for name in DAILY_TABLES},
+                "rows": {},
+                "cursor": self.cursor(),
+            }
+        document_full = self.document_table.read()
+
+        prev_domain = tuple(cur["domain"]) if cur.get("domain") else None
+        affected = affected_snapshot_days(
+            self.spark, doc_delta, wr_delta, document_full,
+            prev_domain=prev_domain,
+        )
+        new_cursor = {
+            "document": doc_to,
+            "webresource": wr_to,
+            "domain": list(affected["domain"]) if affected["domain"] else None,
+        }
+        days = {name: affected[name] for name in DAILY_TABLES}
+        result: dict = {"days": days, "rows": {}, "cursor": cur}
+        if not any(days.values()):
+            self._save_cursor(new_cursor)
+            result["cursor"] = self.cursor()
+            return result
+
+        # full fact views (the per-day queries re-aggregate complete days)
+        stats.register_views(
+            self.spark,
+            document_full,
+            self.sentiment_table.read(),
+            self.webresource_table.read(),
+        )
+        sc = self.social_counts
+        if sc is None:
+            sc = self.spark.sql(stats.WRSOCIALCOUNT_SQL)
+        sc.createOrReplaceTempView("wrsocialcount")
+
+        for name in DAILY_TABLES:
+            if days[name]:
+                store = DailyStatsStore(self.spark, self.store_root, name)
+                result["rows"][name] = store.run_for_days(days[name])
+        self._save_cursor(new_cursor)
+        result["cursor"] = self.cursor()
+        return result

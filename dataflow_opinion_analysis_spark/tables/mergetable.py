@@ -21,17 +21,32 @@ Exactly-once under micro-batch replay is guaranteed twice over:
 2. the MERGE itself anti-joins on the key columns, so even a *partially*
    committed retry inserts no duplicate keys.
 
-Scale design: the manifest records per-file min/max of the partition
-column (default ``PublicationDateId``-style date ids), and ``merge``
-prunes the anti-join build side to files overlapping the incoming
-batch's range — the same file-skipping a real Iceberg MERGE does. State
-growth is bounded by partition pruning, not table size.
+Scale design:
+
+- the manifest records per-file min/max of the partition column (default
+  ``PublicationDateId``-style date ids), and ``merge`` prunes the
+  anti-join build side to files overlapping the incoming batch's range —
+  the same file-skipping a real Iceberg MERGE does. State growth is
+  bounded by partition pruning, not table size.
+- per-commit manifest cost is O(files), NOT O(batches): committed batch
+  ids are range-encoded (Structured Streaming batch ids are monotonic,
+  so the steady state is ONE [0, n] range) and each manifest carries
+  only ITS OWN lineage entry — full history is reconstructed by walking
+  the retained manifest chain (``lineage()``), never rewritten per
+  commit. A naive all-history manifest is O(n²) total write volume over
+  the millions of micro-batches a 10^12-turn stream commits.
+- Iceberg read parity: ``snapshots()`` (history), ``read(at_version=v)``
+  (time travel), ``incremental_read(since_version)`` (append-only CDC
+  scan — exactly the rows committed after a consumer's last-seen
+  snapshot, the primitive the incremental stats refresh consumes), and
+  ``expire_snapshots()`` + ``vacuum()`` for retention.
 """
 
 from __future__ import annotations
 
 import json
 import os
+import shutil
 import time
 import uuid
 
@@ -40,13 +55,39 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 
+def _ranges_add(ranges: list[list[int]], x: int) -> list[list[int]]:
+    """Insert x into a sorted list of inclusive [lo, hi] ranges, merging
+    neighbours. O(len(ranges)); steady state for a monotonic stream is a
+    single range so this is O(1) in practice."""
+    out: list[list[int]] = []
+    new = [x, x]
+    placed = False
+    for lo, hi in ranges:
+        if hi < new[0] - 1:  # strictly before new, non-adjacent
+            out.append([lo, hi])
+        elif lo > new[1] + 1:  # strictly after new, non-adjacent
+            if not placed:
+                out.append(new)
+                placed = True
+            out.append([lo, hi])
+        else:  # overlaps or adjoins new — absorb (may bridge neighbours)
+            new = [min(lo, new[0]), max(hi, new[1])]
+    if not placed:
+        out.append(new)
+    return out
+
+
+def _ranges_contains(ranges: list[list[int]], x: int) -> bool:
+    return any(lo <= x <= hi for lo, hi in ranges)
+
+
 class MergeTable:
     def __init__(
         self,
         spark: SparkSession,
         path: str,
         key_cols: list[str],
-        schema: T.StructType | None = None,
+        schema: T.StructType | str | None = None,
         partition_col: str | None = None,
     ):
         self.spark = spark
@@ -63,14 +104,44 @@ class MergeTable:
     def _latest_path(self) -> str:
         return os.path.join(self.manifest_dir, "LATEST")
 
+    def _manifest_path(self, version: int) -> str:
+        return os.path.join(self.manifest_dir, f"v{version:010d}.json")
+
+    @staticmethod
+    def _normalize(snap: dict) -> dict:
+        """Accept the pre-range manifest format (flat batch_ids list,
+        all-history lineage list) and normalize in memory."""
+        if "batch_ranges" not in snap:
+            ranges: list[list[int]] = []
+            for b in sorted(snap.get("batch_ids", [])):
+                ranges = _ranges_add(ranges, int(b))
+            snap["batch_ranges"] = ranges
+            lin = snap.pop("lineage", [])
+            snap["lineage_entry"] = lin[-1] if lin else None
+        snap.setdefault("columns", None)
+        snap.setdefault("evolved", False)
+        return snap
+
+    def _load_version(self, version: int) -> dict:
+        with open(self._manifest_path(version)) as f:
+            return self._normalize(json.load(f))
+
     def current_snapshot(self) -> dict:
         p = self._latest_path()
         if not os.path.exists(p):
-            return {"version": 0, "files": [], "batch_ids": [], "lineage": []}
+            return {
+                "version": 0,
+                "files": [],
+                "batch_ranges": [],
+                "lineage_entry": None,
+                "ts": None,
+                "columns": None,
+                "evolved": False,
+            }
         with open(p) as f:
             name = f.read().strip()
         with open(os.path.join(self.manifest_dir, name)) as f:
-            return json.load(f)
+            return self._normalize(json.load(f))
 
     def _commit(self, snap: dict) -> None:
         """Atomic commit: write manifest, then rename a pointer file over
@@ -91,9 +162,95 @@ class MergeTable:
             os.fsync(f.fileno())
         os.rename(ptr_tmp, self._latest_path())
 
+    def _next_snap(
+        self,
+        snap: dict,
+        files: list[dict],
+        entry: dict,
+        batch_columns: list[str] | None = None,
+    ) -> dict:
+        """``batch_columns``: the committing DataFrame's columns — schema
+        evolution (Iceberg add-column) is tracked in the manifest: the
+        table's column list is the first-seen order plus any new columns
+        appended, and ``evolved`` flags that data files have heterogeneous
+        schemas so reads must footer-merge. Absent/narrower batches do NOT
+        shrink the column list (missing columns read as null)."""
+        cols = snap["columns"]
+        evolved = snap["evolved"]
+        if batch_columns is not None:
+            if cols is None:
+                cols = list(batch_columns)
+            else:
+                new = [c for c in batch_columns if c not in cols]
+                if new or set(batch_columns) != set(cols):
+                    evolved = True
+                cols = cols + new
+        return {
+            "version": snap["version"] + 1,
+            "files": files,
+            "batch_ranges": (
+                _ranges_add(snap["batch_ranges"], int(entry["batch_id"]))
+                if entry.get("batch_id") is not None
+                else snap["batch_ranges"]
+            ),
+            "lineage_entry": entry,
+            "ts": time.time(),
+            "columns": cols,
+            "evolved": evolved,
+        }
+
+    # -- history / retention ------------------------------------------------
+    def retained_versions(self) -> list[int]:
+        """Versions whose manifest files still exist, ascending."""
+        out = []
+        for name in os.listdir(self.manifest_dir):
+            if name.startswith("v") and name.endswith(".json"):
+                out.append(int(name[1:-5]))
+        return sorted(out)
+
+    def snapshots(self) -> list[dict]:
+        """Snapshot history (retained manifests only), ascending by
+        version: [{version, ts, operation, rows, n_files}]. The walk is
+        over retained manifests — after expire_snapshots() old history is
+        gone by design (Iceberg expire_snapshots semantics)."""
+        out = []
+        for v in self.retained_versions():
+            s = self._load_version(v)
+            e = s.get("lineage_entry") or {}
+            out.append(
+                {
+                    "version": v,
+                    "ts": s.get("ts", e.get("ts")),
+                    "operation": e.get("note", "merge"),
+                    "batch_id": e.get("batch_id"),
+                    "rows": e.get("rows"),
+                    "n_files": len(s["files"]),
+                }
+            )
+        return out
+
+    def lineage(self) -> list[dict]:
+        """Per-commit lineage entries across retained snapshots,
+        ascending. Each entry: {batch_id, files, rows, ts[, note]}."""
+        out = []
+        for v in self.retained_versions():
+            e = self._load_version(v).get("lineage_entry")
+            if e is not None:
+                out.append(e)
+        return out
+
     # -- reads ---------------------------------------------------------------
-    def files(self, min_part: int | None = None, max_part: int | None = None) -> list[str]:
-        snap = self.current_snapshot()
+    def files(
+        self,
+        min_part: int | None = None,
+        max_part: int | None = None,
+        at_version: int | None = None,
+    ) -> list[str]:
+        snap = (
+            self.current_snapshot()
+            if at_version is None
+            else self._load_version(at_version)
+        )
         out = []
         for fe in snap["files"]:
             if (
@@ -107,23 +264,98 @@ class MergeTable:
             out.append(fe["path"])
         return out
 
-    def read(self, min_part: int | None = None, max_part: int | None = None) -> DataFrame:
-        fs = self.files(min_part, max_part)
+    def _empty(self) -> DataFrame:
+        if self.schema is not None:
+            return self.spark.createDataFrame([], self.schema)
+        raise ValueError(f"empty table {self.path} and no schema given")
+
+    def read(
+        self,
+        min_part: int | None = None,
+        max_part: int | None = None,
+        at_version: int | None = None,
+    ) -> DataFrame:
+        """Read the table; ``at_version`` time-travels to that snapshot
+        (must still be retained — see expire_snapshots).
+
+        Schema evolution: footer-merging (mergeSchema) is paid ONLY when
+        the manifest says data files are heterogeneous — the steady-state
+        read of a 100 TB table with a stable schema stays a plain
+        parquet scan. Column order is pinned to the manifest's list, so
+        evolution never reorders existing consumers' columns."""
+        snap = (
+            self.current_snapshot()
+            if at_version is None
+            else self._load_version(at_version)
+        )
+        fs = self.files(min_part, max_part, at_version=at_version)
         if not fs:
-            if self.schema is not None:
-                return self.spark.createDataFrame([], self.schema)
-            raise ValueError(f"empty table {self.path} and no schema given")
-        return self.spark.read.parquet(*fs)
+            return self._empty()
+        r = self.spark.read
+        if snap["evolved"]:
+            r = r.option("mergeSchema", "true")
+        df = r.parquet(*fs)
+        if snap["columns"]:
+            df = df.select(*snap["columns"])
+        return df
+
+    def incremental_read(
+        self, since_version: int, to_version: int | None = None
+    ) -> DataFrame:
+        """Append-only incremental scan: exactly the rows committed by
+        snapshots (since_version, to_version]. This is Iceberg's
+        incremental append scan — the primitive a downstream consumer
+        (e.g. the nightly stats refresh) uses to process only new data.
+
+        MERGE inserts only, so appended files ARE the delta. A
+        ``replace()`` (compaction) snapshot inside the range is NOT an
+        append and raises ValueError, mirroring Iceberg's behavior on
+        non-append snapshots.
+        """
+        cur = self.current_snapshot()["version"]
+        to_version = cur if to_version is None else to_version
+        if to_version > cur:
+            raise ValueError(f"to_version {to_version} > current {cur}")
+        retained = set(self.retained_versions())
+        fs: list[str] = []
+        for v in range(since_version + 1, to_version + 1):
+            if v not in retained:
+                raise ValueError(
+                    f"snapshot v{v} expired; incremental read needs the full "
+                    f"(since, to] chain retained"
+                )
+            e = self._load_version(v).get("lineage_entry") or {}
+            if e.get("batch_id") is None:
+                raise ValueError(
+                    f"snapshot v{v} is a rewrite ({e.get('note')}), not an "
+                    f"append; incremental scan across it is undefined"
+                )
+            fs.extend(e.get("files", []))
+        if not fs:
+            return self._empty()
+        # delta files can straddle a schema-evolution commit; the delta is
+        # small by construction so unconditional footer-merging is cheap
+        return self.spark.read.option("mergeSchema", "true").parquet(*fs)
 
     def committed_batch_ids(self) -> set[int]:
-        return set(self.current_snapshot()["batch_ids"])
+        """Expanded committed-batch-id set. For tests/inspection only —
+        production replay checks use contains_batch (O(#ranges))."""
+        out: set[int] = set()
+        for lo, hi in self.current_snapshot()["batch_ranges"]:
+            out.update(range(lo, hi + 1))
+        return out
+
+    def contains_batch(self, batch_id: int) -> bool:
+        return _ranges_contains(
+            self.current_snapshot()["batch_ranges"], int(batch_id)
+        )
 
     # -- MERGE ----------------------------------------------------------------
     def merge(self, batch: DataFrame, batch_id: int) -> int:
         """Insert rows of `batch` whose key is absent. Returns rows written.
         Idempotent: replaying a committed batch_id is a no-op."""
         snap = self.current_snapshot()
-        if batch_id in snap["batch_ids"]:
+        if _ranges_contains(snap["batch_ranges"], int(batch_id)):
             return 0
 
         # in-batch key dedupe (deterministic smallest-first keeps goldens
@@ -174,14 +406,11 @@ class MergeTable:
         n = wrow["n"]
         if n == 0:
             # nothing new — still record the batch id so replays skip work
-            new_snap = {
-                "version": snap["version"] + 1,
-                "files": snap["files"],
-                "batch_ids": snap["batch_ids"] + [batch_id],
-                "lineage": snap["lineage"]
-                + [{"batch_id": batch_id, "files": [], "rows": 0, "ts": time.time()}],
-            }
-            self._commit(new_snap)
+            entry = {"batch_id": batch_id, "files": [], "rows": 0, "ts": time.time()}
+            self._commit(
+                self._next_snap(snap, snap["files"], entry,
+                                batch_columns=batch.columns)
+            )
             return 0
 
         stats = {}
@@ -189,15 +418,16 @@ class MergeTable:
             stats = {"min_part": wrow["lo"], "max_part": wrow["hi"]}
 
         fe = {"path": out_file, "rows": n, **stats}
-        new_snap = {
-            "version": snap["version"] + 1,
-            "files": snap["files"] + [fe],
-            "batch_ids": snap["batch_ids"] + [batch_id],
-            # per-batch lineage: which files each micro-batch produced
-            "lineage": snap["lineage"]
-            + [{"batch_id": batch_id, "files": [out_file], "rows": n, "ts": time.time()}],
+        entry = {
+            "batch_id": batch_id,
+            "files": [out_file],
+            "rows": n,
+            "ts": time.time(),
         }
-        self._commit(new_snap)
+        self._commit(
+            self._next_snap(snap, snap["files"] + [fe], entry,
+                            batch_columns=batch.columns)
+        )
         return n
 
     # -- REPLACE (compaction) --------------------------------------------------
@@ -207,8 +437,7 @@ class MergeTable:
         compaction — Iceberg's rewrite_data_files). Committed batch_ids
         are PRESERVED, so exactly-once replay semantics survive the
         rewrite; old data files are left on disk for time-travel until
-        externally vacuumed (the snapshot no longer references them).
-        Returns rows written."""
+        expire_snapshots() + vacuum(). Returns rows written."""
         snap = self.current_snapshot()
         out_file = os.path.join(self.data_dir, f"rewrite-{uuid.uuid4().hex}")
         df.write.mode("overwrite").parquet(out_file)
@@ -220,13 +449,54 @@ class MergeTable:
                 F.min(self.partition_col).alias("lo"), F.max(self.partition_col).alias("hi")
             ).collect()[0]
             stats = {"min_part": r["lo"], "max_part": r["hi"]}
-        new_snap = {
-            "version": snap["version"] + 1,
-            "files": [{"path": out_file, "rows": n, **stats}] if n else [],
-            "batch_ids": snap["batch_ids"],
-            "lineage": snap["lineage"]
-            + [{"batch_id": None, "note": note, "files": [out_file], "rows": n,
-                "ts": time.time()}],
+        entry = {
+            "batch_id": None,
+            "note": note,
+            "files": [out_file],
+            "rows": n,
+            "ts": time.time(),
         }
-        self._commit(new_snap)
+        # a rewrite homogenizes the data files: schema evolution resets
+        # (Iceberg compaction materializes the current schema everywhere)
+        fresh = {**snap, "columns": None, "evolved": False}
+        self._commit(
+            self._next_snap(
+                fresh, [{"path": out_file, "rows": n, **stats}] if n else [], entry,
+                batch_columns=df.columns,
+            )
+        )
         return n
+
+    # -- retention ---------------------------------------------------------
+    def expire_snapshots(self, keep_last: int = 1) -> list[int]:
+        """Drop manifest files for all but the newest ``keep_last``
+        retained snapshots (Iceberg expire_snapshots). Time travel and
+        incremental reads into the expired range stop working; the
+        CURRENT snapshot, replay fencing, and normal reads are
+        unaffected. Returns the expired version numbers."""
+        if keep_last < 1:
+            raise ValueError("keep_last must be >= 1")
+        versions = self.retained_versions()
+        expired = versions[:-keep_last]
+        for v in expired:
+            os.remove(self._manifest_path(v))
+        return expired
+
+    def vacuum(self) -> list[str]:
+        """Delete data files referenced by NO retained snapshot (neither
+        as live table files nor as a retained snapshot's lineage files,
+        which incremental_read still needs). Run after
+        expire_snapshots(); returns deleted paths."""
+        referenced: set[str] = set()
+        for v in self.retained_versions():
+            s = self._load_version(v)
+            referenced.update(fe["path"] for fe in s["files"])
+            e = s.get("lineage_entry") or {}
+            referenced.update(e.get("files", []))
+        deleted = []
+        for name in sorted(os.listdir(self.data_dir)):
+            p = os.path.join(self.data_dir, name)
+            if p not in referenced:
+                shutil.rmtree(p, ignore_errors=True)
+                deleted.append(p)
+        return deleted

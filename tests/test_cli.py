@@ -206,3 +206,64 @@ def test_cli_compact_fingerprints_shrinks_store_verdicts_unchanged(spark, tmp_pa
     for col in ("is_dupe", "winner_document_hash", "est_jaccard"):
         assert before.loc[0, col] == after.loc[0, col], col
     assert bool(after.loc[0, "is_dupe"]) and after.loc[0, "winner_document_hash"] == "h5"
+
+
+def test_cli_stream_statsrefresh_maintenance_chain(spark, tmp_path):
+    """The full production loop from spark-submit: `stream --drain` lands
+    exactly-once sinks, `statsrefresh` recomputes only the affected daily
+    partitions off the append delta (second invocation is a cursor no-op),
+    and `table-maintenance` expires old snapshots + vacuums orphans
+    without breaking reads or replay fencing."""
+    import json
+    import os
+
+    from dataflow_opinion_analysis_spark.streaming.pipeline import IndexerSinks
+
+    path = str(tmp_path / "t")
+    base = pd.Timestamp("2024-01-01 00:00:00")
+    rows = []
+    for c in range(3):
+        for i in range(4):
+            rows.append((
+                f"conv-{c}", i, ["user", "assistant"][i % 2],
+                f"turn {i} of {c} shows delight and wonder step{i} wave{c}",
+                None, (base + pd.Timedelta(days=c, minutes=i)).to_pydatetime(),
+            ))
+    spark.createDataFrame(rows, TRANSCRIPT_SCHEMA).coalesce(1).write.mode(
+        "overwrite").parquet(path)
+    _flush(spark, path)
+
+    out = str(tmp_path / "out")
+    store = str(tmp_path / "dailystats")
+    cli.main([
+        "stream", "--input", path, "--output", out,
+        "--checkpoint", str(tmp_path / "ckpt"), "--drain",
+    ])
+    cli.main(["statsrefresh", "--output", out, "--store-root", store])
+
+    cur = json.load(open(os.path.join(store, "_cursor.json")))
+    assert cur["document"] >= 1 and cur["webresource"] >= 1
+    imp = spark.read.parquet(os.path.join(store, "statstoryimpact"))
+    n1 = imp.count()
+    assert n1 > 0
+    docs_days = {
+        r.PublicationDateId
+        for r in IndexerSinks.create(spark, out).document.read()
+        .select("PublicationDateId").distinct().collect()
+    }
+    got_days = {r.SnapshotDateId for r in imp.select("SnapshotDateId").distinct().collect()}
+    assert docs_days <= got_days  # every doc day has a snapshot partition
+
+    # no new commits -> cursor no-op, store unchanged
+    cli.main(["statsrefresh", "--output", out, "--store-root", store])
+    assert spark.read.parquet(os.path.join(store, "statstoryimpact")).count() == n1
+
+    # retention: keep only the latest snapshot per sink, vacuum orphans
+    sinks = IndexerSinks.create(spark, out)
+    n_doc = sinks.document.read().count()
+    committed = min(sinks.document.committed_batch_ids())
+    cli.main(["table-maintenance", "--output", out, "--keep-snapshots", "1"])
+    sinks2 = IndexerSinks.create(spark, out)
+    assert sinks2.document.read().count() == n_doc
+    assert sinks2.document.contains_batch(committed)  # replay fence survives
+    assert len(sinks2.document.retained_versions()) == 1

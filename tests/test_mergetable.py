@@ -63,5 +63,163 @@ def test_partition_pruning_stats(spark, tmp_path):
 def test_lineage_recorded(spark, tmp_path):
     t = _mk(spark, tmp_path)
     t.merge(_df(spark, [("c1", 0, "a", 20240101)]), 7)
-    lin = t.current_snapshot()["lineage"]
+    lin = t.lineage()
     assert lin[-1]["batch_id"] == 7 and lin[-1]["rows"] == 1
+
+
+def test_manifest_cost_is_constant_per_commit(spark, tmp_path):
+    """The 10^12-turn scale property: a commit's manifest carries range-
+    encoded batch ids (ONE range for a monotonic stream) and only its own
+    lineage entry — NOT the full history rewritten every commit."""
+    t = _mk(spark, tmp_path)
+    for b in range(5):
+        t.merge(_df(spark, [(f"c{b}", 0, "x", 20240101 + b)]), b)
+    snap = t.current_snapshot()
+    assert snap["batch_ranges"] == [[0, 4]]
+    assert snap["lineage_entry"]["batch_id"] == 4
+    # out-of-order / gap ids stay correct (restart from an older checkpoint)
+    t.merge(_df(spark, [("g", 0, "x", 20240201)]), 9)
+    assert t.current_snapshot()["batch_ranges"] == [[0, 4], [9, 9]]
+    assert t.contains_batch(3) and t.contains_batch(9) and not t.contains_batch(7)
+    assert len(t.lineage()) == 6
+
+
+def test_time_travel_and_snapshots(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_df(spark, [("c1", 0, "a", 20240101)]), 0)
+    v1 = t.current_snapshot()["version"]
+    t.merge(_df(spark, [("c2", 0, "b", 20240102)]), 1)
+    assert t.read().count() == 2
+    assert t.read(at_version=v1).count() == 1
+    hist = t.snapshots()
+    assert [s["version"] for s in hist] == [1, 2]
+    assert hist[0]["rows"] == 1 and hist[1]["n_files"] == 2
+
+
+def test_incremental_read_is_exactly_the_delta(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    t.merge(_df(spark, [("c1", 0, "a", 20240101)]), 0)
+    v1 = t.current_snapshot()["version"]
+    t.merge(_df(spark, [("c2", 0, "b", 20240102), ("c1", 0, "DUP", 20240101)]), 1)
+    t.merge(_df(spark, [("c3", 0, "c", 20240103)]), 2)
+    delta = t.incremental_read(since_version=v1)
+    got = sorted(r.conv_id for r in delta.collect())
+    assert got == ["c2", "c3"]  # the MERGE-suppressed dup is not in the delta
+    # empty delta and bounds checks
+    assert t.incremental_read(t.current_snapshot()["version"]).count() == 0
+    # a rewrite inside the range is not an append scan
+    t.replace(t.read())
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="rewrite"):
+        t.incremental_read(since_version=v1)
+
+
+def test_expire_and_vacuum_preserve_current_reads_and_replay(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for b in range(3):
+        t.merge(_df(spark, [(f"c{b}", 0, "x", 20240101 + b)]), b)
+    t.replace(t.read(), note="compact")  # 3 small files -> 1
+    expired = t.expire_snapshots(keep_last=1)
+    assert expired == [1, 2, 3]
+    deleted = t.vacuum()
+    assert len(deleted) == 3  # the three pre-compaction batch files
+    assert t.read().count() == 3
+    # replay fencing survives retention (ids live in the latest manifest)
+    assert t.merge(_df(spark, [("c0", 0, "REPLAY", 20240101)]), 0) == 0
+    # expired versions are gone for time travel
+    import pytest as _pytest
+
+    with _pytest.raises(FileNotFoundError):
+        t.read(at_version=1)
+
+
+def test_old_manifest_format_still_reads(spark, tmp_path):
+    """Back-compat: a table committed by the pre-range manifest format
+    (flat batch_ids list + all-history lineage) normalizes on read and
+    keeps replay fencing."""
+    import json
+    import os
+
+    t = _mk(spark, tmp_path)
+    t.merge(_df(spark, [("c1", 0, "a", 20240101)]), 5)
+    # rewrite the manifest in the OLD format
+    snap = t.current_snapshot()
+    old = {
+        "version": snap["version"],
+        "files": snap["files"],
+        "batch_ids": [5],
+        "lineage": [{"batch_id": 5, "files": [snap["files"][0]["path"]], "rows": 1}],
+    }
+    mp = os.path.join(t.manifest_dir, f"v{snap['version']:010d}.json")
+    with open(mp, "w") as f:
+        json.dump(old, f)
+    assert t.contains_batch(5)
+    assert t.merge(_df(spark, [("c1", 0, "REPLAY", 20240101)]), 5) == 0
+    t.merge(_df(spark, [("c2", 0, "b", 20240102)]), 6)
+    assert t.current_snapshot()["batch_ranges"] == [[5, 6]]
+    assert t.read().count() == 2
+
+
+def test_ranges_add_property():
+    """Range encoding == set semantics for any insertion order (the replay
+    fence is only as correct as this structure)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_opinion_analysis_spark.tables.mergetable import (
+        _ranges_add,
+        _ranges_contains,
+    )
+
+    @given(st.lists(st.integers(min_value=0, max_value=60), max_size=40))
+    @settings(max_examples=300, deadline=None)
+    def check(xs):
+        ranges = []
+        for x in xs:
+            ranges = _ranges_add(ranges, x)
+        want = set(xs)
+        got = {v for lo, hi in ranges for v in range(lo, hi + 1)}
+        assert got == want
+        # canonical form: sorted, non-overlapping, non-adjacent
+        for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
+            assert h1 + 1 < l2
+        for probe in range(62):
+            assert _ranges_contains(ranges, probe) == (probe in want)
+
+    check()
+
+
+def test_schema_evolution_add_column(spark, tmp_path):
+    """Iceberg add-column parity: a later batch carrying a new column
+    evolves the table — old rows read null for it, column order is
+    pinned to first-seen + appended, a narrower late batch still works,
+    and compaction re-homogenizes the files (evolved flag resets so
+    steady-state reads skip footer-merging)."""
+    t = MergeTable(spark, str(tmp_path / "t"), key_cols=["conv_id"],
+                   partition_col="date_id")
+    t.merge(spark.createDataFrame([("c1", "a", 20240101)],
+                                  "conv_id string, v string, date_id int"), 0)
+    assert t.current_snapshot()["evolved"] is False
+    # batch 1 adds a 'model' column
+    t.merge(spark.createDataFrame([("c2", "b", 20240102, "m-1")],
+                                  "conv_id string, v string, date_id int, model string"), 1)
+    snap = t.current_snapshot()
+    assert snap["evolved"] is True
+    assert snap["columns"] == ["conv_id", "v", "date_id", "model"]
+    out = t.read().orderBy("conv_id")
+    assert out.columns == ["conv_id", "v", "date_id", "model"]
+    rows = out.collect()
+    assert rows[0].model is None and rows[1].model == "m-1"
+    # a narrower batch (old producer still running) is accepted
+    t.merge(spark.createDataFrame([("c3", "c", 20240103)],
+                                  "conv_id string, v string, date_id int"), 2)
+    assert t.read().count() == 3
+    # time travel sees the pre-evolution schema
+    assert t.read(at_version=1).columns == ["conv_id", "v", "date_id"]
+    # compaction homogenizes: evolved resets, data intact
+    t.replace(t.read())
+    snap = t.current_snapshot()
+    assert snap["evolved"] is False
+    assert snap["columns"] == ["conv_id", "v", "date_id", "model"]
+    assert t.read().where("model IS NULL").count() == 2

@@ -304,7 +304,7 @@ def test_dead_letter_routing(spark, tmp_path):
     first = sinks.dead_letter.read().count()
     import dataflow_opinion_analysis_spark.streaming.pipeline as sp
     dummy = sinks.dead_letter.read().limit(1)
-    committed = sinks.dead_letter.current_snapshot()["batch_ids"][0]
+    committed = min(sinks.dead_letter.committed_batch_ids())
     assert sinks.dead_letter.merge(dummy, committed) == 0
     assert sinks.dead_letter.read().count() == first
 
@@ -361,7 +361,7 @@ def test_cross_batch_near_dup_caught(spark, tmp_path):
     all_doc_hashes = set(sinks.document.read().toPandas()["DocumentHash"])
     assert set(fp["document_hash"]) <= all_doc_hashes
     # replay idempotence on the fingerprint store
-    committed = sinks.fingerprints.current_snapshot()["batch_ids"][0]
+    committed = min(sinks.fingerprints.committed_batch_ids())
     assert sinks.fingerprints.merge(sinks.fingerprints.read().limit(1), committed) == 0
 
 
