@@ -130,6 +130,66 @@ def _stats_query(name: str):
     return run
 
 
+def q_stats_stattopic_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Delta-driven nightly refresh == full-range rebuild: indexer output
+    is committed to exactly-once MergeTables in two waves (split at the
+    median publication day), the cursor-tracked IncrementalStatsConsumer
+    refreshes after each wave (MergeTable.incremental_read append scan ->
+    affected-day DELETE+INSERT recompute), and the stored stattopic
+    partitions are checked against the SAME full-range DuckDB oracle as
+    the stats_stattopic gate. End-to-end evidence for
+    plans/stats_incremental.py + tables/mergetable.py."""
+    key = (id(spark), sf_dir, "stats_incr")
+    if key not in _OUTPUTS_CACHE:
+
+        def build():
+            import tempfile
+
+            from dataflow_opinion_analysis_spark.plans.stats_incremental import (
+                IncrementalStatsConsumer,
+            )
+            from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
+
+            out = _outputs(spark, sf_dir)
+            tmp = tempfile.mkdtemp(prefix="gate_stats_incr_")
+            t_doc = MergeTable(
+                spark, f"{tmp}/doc", ["DocumentHash"],
+                partition_col="PublicationDateId",
+            )
+            t_sent = MergeTable(
+                spark, f"{tmp}/sent", ["SentimentHash"],
+                partition_col="DocumentDateId",
+            )
+            t_wr = MergeTable(
+                spark, f"{tmp}/wr", ["WebResourceHash"],
+                partition_col="PublicationDateId",
+            )
+            days = sorted(
+                r[0]
+                for r in out.document.select("PublicationDateId").distinct().collect()
+            )
+            thr = days[len(days) // 2]
+            consumer = IncrementalStatsConsumer(
+                spark, f"{tmp}/stats", t_doc, t_sent, t_wr
+            )
+            for b, pred in enumerate([f"<= {thr}", f"> {thr}"]):
+                t_doc.merge(out.document.where(f"PublicationDateId {pred}"), b)
+                t_sent.merge(out.sentiment.where(f"DocumentDateId {pred}"), b)
+                t_wr.merge(out.webresource.where(f"PublicationDateId {pred}"), b)
+                consumer.refresh()
+            return spark.read.parquet(f"{tmp}/stats/stattopic").localCheckpoint(
+                eager=True
+            )
+
+        _memoize_build(spark, key, build)
+    _OUTPUTS_CACHE[key].createOrReplaceTempView("stattopic_incremental")
+    return spark.sql(
+        stats.GATE_SELECTS_SPARK["stattopic"].replace(
+            "FROM stattopic", "FROM stattopic_incremental"
+        )
+    )
+
+
 def q_indexer_document(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The `document` fact table (IndexerPipeline.java:709-736) produced by
     the full pipeline: ingest -> exact dedupe -> NLP tags -> soft dedupe."""
@@ -239,6 +299,14 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
                 name, stats.GATE_MIN_DOMAIN_DOCS, stats.GATE_MIN_BASIC8
             ),
         )
+    # the delta-driven refresh path must reproduce the full rebuild —
+    # same oracle as stats_stattopic, different (incremental) producer
+    reg["stats_stattopic_incremental"] = (
+        q_stats_stattopic_incremental,
+        oracles_stats.oracle_sql(
+            "stattopic", stats.GATE_MIN_DOMAIN_DOCS, stats.GATE_MIN_BASIC8
+        ),
+    )
 
     from dataflow_opinion_analysis_spark import oracles_dataprep
     from dataflow_opinion_analysis_spark.functions import entities
@@ -264,6 +332,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "similarity_ann_lsh": similarity.similarity_ann_lsh,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "similarity_ann_ivf": similarity.similarity_ann_ivf,
+        "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "pack_sequences": llmprep.pack_sequences,
         "sample_stratified": llmprep.sample_stratified,

@@ -519,6 +519,29 @@ FROM documents
 
 PII_SCRUB_SQL = _duck_pii_sql()
 
+# int8 symmetric quantization — DuckDB mirror of
+# operators/similarity.embedding_quantize_int8 (raw double scale in the
+# arithmetic: max/abs/divide are exact IEEE ops on both engines)
+EMBEDDING_QUANTIZE_INT8_SQL = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+s AS (
+  SELECT vec_id, v, list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale0 FROM v
+),
+s2 AS (
+  SELECT vec_id, v, CASE WHEN scale0 = 0.0 THEN 1.0 ELSE scale0 END AS scale FROM s
+)
+SELECT vec_id,
+  round(scale, 6) AS scale_r6,
+  array_to_string(
+    list_transform(v, x -> CAST(CAST(greatest(-127.0,
+                                              least(127.0,
+                                                    round(x / scale))) AS INTEGER) AS VARCHAR)),
+    ',') AS q_str
+FROM s2
+"""
+
 DATAPREP_ORACLES: dict[str, str] = {
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
@@ -538,4 +561,5 @@ DATAPREP_ORACLES: dict[str, str] = {
     "dedup_embedding_cosine": DEDUP_EMBEDDING_COSINE_SQL,
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
+    "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
 }

@@ -194,3 +194,29 @@ def test_ivf_lists_balanced(spark):
     sizes = asg.groupby("cent_id").size()
     assert len(sizes) == similarity.IVF_CENTROIDS, "an inverted list is empty"
     assert sizes.max() / sizes.mean() <= 2.0, sorted(sizes.tolist())
+
+
+def test_embedding_quantize_int8_roundtrip_bound(spark):
+    """int8 quantization invariants: every q fits int8, scale is the
+    per-vector max/127, and dequantization (q * scale) reconstructs each
+    component within scale/2 + clamp slack — the bound that makes the 4x
+    storage cut safe for ANN serving."""
+    import numpy as np
+
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    out = similarity.embedding_quantize_int8(spark, "/root/testdata/sf0.001").toPandas()
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id").toPandas()
+    )
+    assert len(out) == len(emb)
+    out = out.sort_values("vec_id").reset_index(drop=True)
+    for (_, row), (_, erow) in zip(out.iterrows(), emb.iterrows()):
+        q = np.array([int(t) for t in row.q_str.split(",")])
+        x = np.asarray(erow.embedding, dtype=np.float64)
+        assert q.min() >= -127 and q.max() <= 127
+        scale = np.abs(x).max() / 127.0 or 1.0
+        assert abs(row.scale_r6 - round(scale, 6)) < 1e-9
+        # reconstruction: |x - q*scale| <= scale/2 (+ tiny FP slack)
+        assert np.abs(x - q * scale).max() <= scale / 2 + 1e-12
