@@ -463,7 +463,14 @@ def write_md(result: dict) -> None:
         "triggers, state width pinned 32 both sides — after cutting the",
         "per-micro-batch fixed overhead (persist-once merge inputs,",
         "fused state+assembly stage, event-time lag metric). Raw",
-        "per-pair JSON for every invocation: BENCH/scaling_runs.json.",
+        "per-pair JSON for every invocation: BENCH/scaling_runs.json. An",
+        "end-of-round-4 confirmation re-run of the stream headline on the",
+        "final code landed on a marginal host (probes 162-200 all session,",
+        "one dip to 71): pairs 0.619 (clean, 8-side in a weak-capacity",
+        "phase) / 1.011 / 0.931 (both auto-flagged noisy) — all-pairs",
+        "median 0.931, consistent with the committed 0.827 but without a",
+        "clean >=0.8 median of its own; recorded unhidden in",
+        "scaling_runs.json.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
