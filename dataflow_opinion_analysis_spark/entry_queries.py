@@ -349,6 +349,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "wrsocialcount": events_ops.wrsocialcount,
         "events_sessionization": events_ops.events_sessionization,
         "events_tumbling_agg": events_ops.events_tumbling_agg,
+        "events_topk_salted": events_ops.events_topk_salted,
         "tpch_q1_like": events_ops.tpch_q1_like,
         "tpch_top_customers": events_ops.tpch_top_customers,
     }

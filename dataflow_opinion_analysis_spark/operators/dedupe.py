@@ -11,8 +11,13 @@ required for row-for-row goldens (FIXTURES.md §4).
 Both operators shuffle exactly once, on their group key. At 100 TB the
 exact-dedupe key (content hash) is near-unique so the shuffle is balanced
 by construction; the soft-dedupe key (title, length-bucket) can be hot, so
-the streaming variant salts it (streaming/pipeline.py) and batch relies on
-AQE skew-split.
+every join on it pins the small side to broadcast (no skewed shuffle at
+all — see the comment at the freq_q join below) and the aggregates are
+hash aggregates with map-side combine rather than windows (a rank window
+would funnel the hot key through one task; the generic salted-window
+escape hatch for shapes that DO need a per-key rank is
+operators/hints.salted_top_k). Residual skewed joins fall to AQE
+skew-split (session.py).
 """
 
 from __future__ import annotations

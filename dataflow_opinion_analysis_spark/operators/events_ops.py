@@ -225,3 +225,30 @@ def social_counts_from_jdbc(raw: DataFrame, existing: DataFrame | None = None) -
             .drop("_last_count_time")
         )
     return out
+
+
+def events_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact top-5 events per event_type by value, computed with the
+    two-phase salted rank (operators/hints.salted_top_k) so the hot key
+    never funnels through one serial window partition — the north rule's
+    salted repartitioning made concrete (the DuckDB oracle computes the
+    same top-k with a plain rank window; results are provably identical,
+    only the Spark plan shape differs)."""
+    from pyspark.sql import functions as F
+
+    from dataflow_opinion_analysis_spark.operators import hints
+
+    ev = _view(spark, sf_dir, "events")
+    out = hints.salted_top_k(
+        ev,
+        ["event_type"],
+        [F.col("value").desc(), F.col("event_id").asc()],
+        k=5,
+        salt_src="event_id",
+    )
+    return out.select(
+        "event_type",
+        "rk",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
+    )

@@ -113,6 +113,17 @@ ORDER BY rev_rank
 LIMIT 100
 """
 
+EVENTS_TOPK_SALTED_SQL = """
+WITH r AS (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id) AS rk
+  FROM events
+)
+SELECT event_type, rk, event_id, CAST(round(value * 100) AS BIGINT) AS value_c
+FROM r WHERE rk <= 5
+"""
+
 EVENTS_ORACLES: dict[str, str] = {
     "statngram": STATNGRAM_SQL,
     "wrsocialcount": WRSOCIALCOUNT_SQL,
@@ -120,4 +131,5 @@ EVENTS_ORACLES: dict[str, str] = {
     "events_tumbling_agg": EVENTS_TUMBLING_AGG_SQL,
     "tpch_q1_like": TPCH_Q1_SQL,
     "tpch_top_customers": TPCH_TOP_CUSTOMERS_SQL,
+    "events_topk_salted": EVENTS_TOPK_SALTED_SQL,
 }

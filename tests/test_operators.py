@@ -220,3 +220,37 @@ def test_embedding_quantize_int8_roundtrip_bound(spark):
         assert abs(row.scale_r6 - round(scale, 6)) < 1e-9
         # reconstruction: |x - q*scale| <= scale/2 (+ tiny FP slack)
         assert np.abs(x - q * scale).max() <= scale / 2 + 1e-12
+
+
+def test_salted_top_k_equals_plain_window(spark):
+    """salted_top_k is EXACTLY the plain rank-window top-k (every global
+    top-k row is a local top-k row of its salt bucket), while the plan
+    spreads the hot key over (key, salt) partitions in phase 1 — the
+    serial-partition escape for rank windows on hot keys."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from dataflow_opinion_analysis_spark.operators.hints import salted_top_k
+
+    # one pathologically hot key, two small ones
+    rows = [(i, "hot", float((i * 2654435761) % 99991)) for i in range(20000)]
+    rows += [(100000 + i, "warm", float(i * 7)) for i in range(50)]
+    rows += [(200000 + i, "cold", float(i)) for i in range(3)]
+    df = spark.createDataFrame(rows, "event_id long, key string, value double")
+
+    order = [F.col("value").desc(), F.col("event_id").asc()]
+    got = salted_top_k(df, ["key"], order, k=5, salt_src="event_id")
+    want = (
+        df.withColumn("rk", F.row_number().over(Window.partitionBy("key").orderBy(*order)))
+        .filter(F.col("rk") <= 5)
+    )
+    g = {tuple(r) for r in got.select("key", "rk", "event_id").collect()}
+    w = {tuple(r) for r in want.select("key", "rk", "event_id").collect()}
+    assert g == w
+    # a key with fewer rows than k still yields all its rows, ranked
+    assert got.filter(F.col("key") == "cold").count() == 3
+    # phase-1 window really partitions by (key, salt)
+    plan = got._sc._jvm.PythonSQLUtils.explainString(
+        got._jdf.queryExecution(), "extended"
+    ) if hasattr(got, "_jdf") else got._explain_string()  # fallback
+    assert "_salt" in plan
