@@ -218,6 +218,7 @@ class IncrementalStatsConsumer:
         sentiment_table,
         webresource_table,
         social_counts: DataFrame | None = None,
+        tables: tuple[str, ...] = DAILY_TABLES,
     ):
         self.spark = spark
         self.store_root = store_root
@@ -225,6 +226,10 @@ class IncrementalStatsConsumer:
         self.sentiment_table = sentiment_table
         self.webresource_table = webresource_table
         self.social_counts = social_counts
+        for t in tables:
+            if t not in DAILY_TABLES:
+                raise KeyError(t)
+        self.tables = tuple(tables)
         os.makedirs(store_root, exist_ok=True)
 
     # -- cursor -------------------------------------------------------------
@@ -301,7 +306,7 @@ class IncrementalStatsConsumer:
             sc = self.spark.sql(stats.WRSOCIALCOUNT_SQL)
         sc.createOrReplaceTempView("wrsocialcount")
 
-        for name in DAILY_TABLES:
+        for name in self.tables:
             if days[name]:
                 store = DailyStatsStore(self.spark, self.store_root, name)
                 result["rows"][name] = store.run_for_days(days[name])
