@@ -260,9 +260,23 @@ def main() -> int:
         cold_eff = round((obs[big_c]["cold_tps"] / obs[small_c]["cold_tps"]) / 4, 3)
         flat = [p for pair in probes.values() for p in pair]
         drift = (max(flat) - min(flat)) / max(flat)
+        # side asymmetry: both sides can sit inside the quiet band yet at
+        # DIFFERENT capacity levels (round-4 re-run: sides bracketed 180
+        # vs 190.5 Miter/s — 5.5% apart — alongside a 13% slower 8-side
+        # wall vs the committed run's stronger phase; larger gradients
+        # would bias a pair in either direction while passing the drift
+        # and floor flags). A pair whose per-side mean probes diverge
+        # >10% measures the host's phase gradient, not scaling — flag it.
+        side_means = {
+            c: sum(probes[c]) / len(probes[c]) for c in (small_c, big_c)
+        }
+        asym = abs(side_means[small_c] - side_means[big_c]) / max(
+            side_means.values()
+        )
         # noisy if probes diverge OR any bracket probe shows a busy host
         # (symmetric tenancy suppresses drift but still poisons the pair)
-        noisy = drift > 0.25 or min(flat) < QUIET_MITERS
+        # OR the two sides ran at visibly different capacity levels
+        noisy = drift > 0.25 or min(flat) < QUIET_MITERS or asym > 0.10
         pairs.append(
             {
                 "order": f"{order[0]}->{order[1]}",
@@ -270,6 +284,7 @@ def main() -> int:
                 "big": obs[big_c],
                 "probes": {k: list(v) for k, v in probes.items()},
                 "probe_drift": round(drift, 3),
+                "side_asymmetry": round(asym, 3),
                 "noisy": noisy,
                 "efficiency": eff,
                 "cold_efficiency": cold_eff,
@@ -432,9 +447,13 @@ def write_md(result: dict) -> None:
         "a fresh subprocess/JVM that first waits for a quiet host window;",
         "a 32-process spin probe BRACKETS every measurement (before-after",
         "shown in the probes column) and a pair is flagged noisy when",
-        "probes diverge >25% or any bracket probe reads below the",
-        "quiet-host floor (170 Miter/s). Noisy pairs are excluded from the",
-        "median; their efficiencies are shown above, unhidden.",
+        "probes diverge >25%, any bracket probe reads below the",
+        "quiet-host floor (170 Miter/s), or the two SIDES' mean probes",
+        "diverge >10% (added after round 4's re-run showed the two sides",
+        "of a pair can sit at different capacity levels inside the quiet",
+        "band, biasing efficiency either way without tripping the other",
+        "flags). Noisy pairs are excluded from the median; their",
+        "efficiencies are shown above, unhidden.",
         "",
         "Reproduce the headline (streaming engine, ~1h incl. quiet waits):",
         "",
