@@ -21,6 +21,8 @@ Subcommands:
   table-maintenance snapshot expiry + orphan-file vacuum on the sinks
   socialstats JDBC social counts -> durable wrsocialcount
   compact-fingerprints bound the near-dup fingerprint store
+  dataprep   composed training-data prep: quality/lang filter -> exact +
+             MinHash dedup -> PII scrub -> sequence packing
   datagen    deterministic synthetic transcripts generator
 """
 
@@ -197,7 +199,7 @@ def cmd_table_maintenance(args) -> int:
                  "dead_letter", "fingerprints"):
         t = getattr(sinks, name)
         expired = t.expire_snapshots(keep_last=args.keep_snapshots)
-        deleted = t.vacuum()
+        deleted = t.vacuum(min_age_sec=args.vacuum_min_age_hours * 3600.0)
         print(f"{name}: expired {len(expired)} snapshot(s), "
               f"deleted {len(deleted)} orphan file(s)")
     spark.stop()
@@ -217,6 +219,35 @@ def cmd_compact_fingerprints(args) -> int:
         sinks.fingerprints, keep=args.keep
     )
     print(f"compacted fingerprints: {before} -> {after} rows")
+    spark.stop()
+    return 0
+
+
+def cmd_dataprep(args) -> int:
+    """The composed training-data prep pipeline: quality/lang filter ->
+    exact dedup -> MinHash near-dedup -> PII scrub -> sequence packing
+    over a documents-shaped parquet. Writes the packed table and prints
+    per-stage row accounting as one JSON line."""
+    import json
+
+    from dataflow_opinion_analysis_spark.operators.dataprep_pipeline import (
+        build_dataprep,
+    )
+
+    spark = _spark(args)
+    docs = spark.read.parquet(args.input)
+    st = build_dataprep(spark, docs)
+    packed = st.packed
+    packed.write.mode(args.mode).parquet(args.output)
+    counts = {
+        "input": docs.count(),
+        "quality_lang": st.filtered.count(),
+        "exact_dedup": st.exact.count(),
+        "near_dedup": st.kept.count(),
+        "pii_scrub": st.scrubbed.count(),
+        "pack": spark.read.parquet(args.output).count(),
+    }
+    print(json.dumps({"stages": counts, "output": args.output}))
     spark.stop()
     return 0
 
@@ -299,6 +330,11 @@ def main(argv: list[str] | None = None) -> int:
     p = sub.add_parser("table-maintenance")
     p.add_argument("--output", required=True, help="stream out_root holding the MergeTable sinks")
     p.add_argument("--keep-snapshots", type=int, default=100)
+    p.add_argument(
+        "--vacuum-min-age-hours", type=float, default=4.0,
+        help="orphan-age grace: never delete a data dir younger than this "
+             "(a mid-merge writer's uncommitted dir looks like an orphan)",
+    )
     p.set_defaults(fn=cmd_table_maintenance)
 
     p = sub.add_parser("compact-fingerprints")
@@ -306,6 +342,12 @@ def main(argv: list[str] | None = None) -> int:
     from dataflow_opinion_analysis_spark.streaming.dedupe_state import MAX_FPRINTS
     p.add_argument("--keep", type=int, default=MAX_FPRINTS)
     p.set_defaults(fn=cmd_compact_fingerprints)
+
+    p = sub.add_parser("dataprep")
+    p.add_argument("--input", required=True, help="documents-shaped parquet (doc_id, lang, text)")
+    p.add_argument("--output", required=True, help="packed-table output dir")
+    p.add_argument("--mode", default="overwrite")
+    p.set_defaults(fn=cmd_dataprep)
 
     p = sub.add_parser("datagen")
     p.add_argument("--output", required=True)

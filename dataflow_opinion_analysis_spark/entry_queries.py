@@ -226,6 +226,7 @@ def q_indexer_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "DocumentTime",
         "DocumentDateId",
         "Text",
+        "LabelledPositions",
         "SentimentTotalScore",
         "DominantValence",
         *st,
@@ -233,6 +234,9 @@ def q_indexer_sentiment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "MainWebResourceHash",
         "ParentWebResourceHash",
         F.array_join("Signals", ";").alias("SignalsStr"),
+        # per-passage tag regression guard: the Tags array value-checked
+        # as an ordered name list (round-4 verdict item 5)
+        F.array_join(F.transform("Tags", lambda t: t["Tag"]), ",").alias("TagsStr"),
     )
 
 
@@ -316,6 +320,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     from dataflow_opinion_analysis_spark.functions import entities
     from dataflow_opinion_analysis_spark.operators import (
         dataprep,
+        dataprep_pipeline,
         llmprep,
         multimodal,
         similarity,
@@ -341,6 +346,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "pack_sequences": llmprep.pack_sequences,
         "sample_stratified": llmprep.sample_stratified,
         "pii_scrub": llmprep.pii_scrub,
+        "dataprep_pipeline": dataprep_pipeline.dataprep_pipeline,
     }
     for name, fn in dataprep_fns.items():
         reg[name] = (fn, oracles_dataprep.DATAPREP_ORACLES.get(name))

@@ -68,15 +68,14 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
-def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact dedup on normalized text: hash-groupBy, canonical = min doc_id."""
-    _docs(spark, sf_dir)
-    return spark.sql(
-        """
+def dedup_exact_sql_spark(rel: str = "documents") -> str:
+    """Exact-dedup SQL over relation ``rel`` (parameterized so the
+    composed dataprep pipeline can run the same stage on its survivors)."""
+    return f"""
 WITH norm AS (
   SELECT doc_id,
          sha2(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ')), 256) AS norm_hash
-  FROM documents
+  FROM {rel}
 )
 SELECT doc_id, norm_hash,
   min(doc_id) OVER (PARTITION BY norm_hash)   AS canonical_doc_id,
@@ -84,16 +83,21 @@ SELECT doc_id, norm_hash,
   doc_id = min(doc_id) OVER (PARTITION BY norm_hash) AS is_canonical
 FROM norm
 """
-    )
 
 
-def _shingle_cte_spark() -> str:
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup on normalized text: hash-groupBy, canonical = min doc_id."""
+    _docs(spark, sf_dir)
+    return spark.sql(dedup_exact_sql_spark())
+
+
+def _shingle_cte_spark(rel: str = "documents") -> str:
     # raw_shingles -> DF-capped shingles: the cap drops skew-inducing hot
     # shingles consistently from BOTH the pair join and the Jaccard sizes,
     # so similarity stays internally consistent (and oracle-identical).
     return f"""
 toks AS (
-  SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents
+  SELECT doc_id, {SPARK_TOKENS} AS toks FROM {rel}
 ),
 raw_shingles AS (
   SELECT DISTINCT doc_id, shingle
@@ -144,6 +148,12 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     band key) — no all-pairs anywhere, and the signature aggregate gets
     map-side partial combine for free."""
     _docs(spark, sf_dir)
+    return spark.sql(dedup_minhash_sql_spark())
+
+
+def dedup_minhash_sql_spark(rel: str = "documents") -> str:
+    """MinHash+LSH near-dup-pairs SQL over relation ``rel`` (parameterized
+    for the composed dataprep pipeline)."""
     # K permutation mins as one aggregate; band key format matches the
     # DuckDB mirror exactly: sorted "{i}:{mh}" pairs joined by '_'
     mins = ",\n         ".join(
@@ -156,9 +166,8 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         "concat('{i1}:', cast(mh{i1} AS string))))))".format(b=b, i0=2 * b, i1=2 * b + 1)
         for b in range(LSH_BANDS)
     )
-    return spark.sql(
-        f"""
-WITH {_shingle_cte_spark()},
+    return f"""
+WITH {_shingle_cte_spark(rel)},
 hashed AS (
   SELECT doc_id,
          cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
@@ -194,7 +203,6 @@ JOIN sizes sa ON sa.doc_id = c.doc_a
 JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_THRESHOLD}
 """
-    )
 
 
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:

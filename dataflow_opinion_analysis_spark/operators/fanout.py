@@ -89,6 +89,7 @@ def sentiment_rows(passages: DataFrame, winners: DataFrame, tags: DataFrame | No
         F.col("pub_date_id"),
         F.col("web_resource_hash"),
         F.col("parent_web_resource_hash"),
+        F.col("text"),  # LabelledPositions: passage offsets within doc text
     ]
     winners_has_tags = tags is None and "Tags" in winners.columns
     if winners_has_tags:
@@ -121,18 +122,39 @@ def sentiment_rows_fused(soft_winners: DataFrame) -> DataFrame:
         "web_resource_hash",
         "parent_web_resource_hash",
         "Tags",
+        # doc text rides along so the projection can derive
+        # LabelledPositions (passage [start,end) within the document).
+        # Map-local widening only: instr() consumes it in the same stage
+        # and the column is dropped before any exchange.
+        "text",
     )
     inp = soft_winners.select(
         F.col("expected_document_hash").alias("document_hash"),
         "conv_id",
         "turn_idx",
-        "text",
         *carry,
     )
     return _sentiment_projection(scorer.score_passages_carry(inp, carry))
 
 
 def _sentiment_projection(df: DataFrame) -> DataFrame:
+    # LabelledPositions: "start:end" character offsets ([start, end),
+    # 0-based) of the passage within its document text, resolved by
+    # deterministic FIRST OCCURRENCE — the same instr/strpos expression
+    # both engines (reference carries passage positions in its sentiment
+    # schema: bigquery/sentimentSchema.json, IndexerPipeline.java:743-784).
+    # A passage is always a contiguous substring of its document (the
+    # splitter only trims), so instr() > 0 by construction; the guard
+    # keeps a malformed row NULL instead of "-1:...".
+    pos = F.instr(F.col("text"), F.col("passage_text"))
+    labelled = F.when(
+        pos > 0,
+        F.concat(
+            (pos - F.lit(1)).cast("string"),
+            F.lit(":"),
+            (pos - F.lit(1) + F.length("passage_text")).cast("string"),
+        ),
+    )
     return df.select(
         hashes.sentiment_hash(
             F.col("document_hash"),
@@ -142,7 +164,7 @@ def _sentiment_projection(df: DataFrame) -> DataFrame:
         F.col("pub_time").alias("DocumentTime"),
         F.col("pub_date_id").alias("DocumentDateId"),
         F.col("passage_text").alias("Text"),
-        F.lit(None).cast("string").alias("LabelledPositions"),
+        labelled.alias("LabelledPositions"),
         F.col("passage_text").alias("AnnotatedText"),
         F.concat(F.lit("<p>"), F.col("passage_text"), F.lit("</p>")).alias("AnnotatedHtml"),
         F.col("SentimentTotalScore"),

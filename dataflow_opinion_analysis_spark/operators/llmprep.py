@@ -90,16 +90,24 @@ def pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     reports its global token offset and the chunk range it lands in.
     Two-phase distributed prefix sum — see module docstring."""
     _docs(spark, sf_dir)
+    return spark.sql(pack_sql_spark())
+
+
+def pack_sql_spark(rel: str = "documents", carry_cols: tuple[str, ...] = ()) -> str:
+    """Two-phase-prefix-sum packing SQL over relation ``rel``;
+    ``carry_cols`` ride through unchanged (the composed dataprep pipeline
+    carries lang + scrubbed_hash onto the packed output)."""
     c = PACK_CONTEXT_TOKENS
-    return spark.sql(
-        f"""
+    carry_base = "".join(f", {col}" for col in carry_cols)
+    carry_out = "".join(f", i.{col}" for col in carry_cols)
+    return f"""
 WITH base AS (
   SELECT doc_id, doc_id div {PACK_RANGE} AS bucket,
-         cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint) + 1 AS n_tokens
-  FROM documents
+         cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint) + 1 AS n_tokens{carry_base}
+  FROM {rel}
 ),
 inb AS (
-  SELECT doc_id, bucket, n_tokens,
+  SELECT *,
          sum(n_tokens) OVER (PARTITION BY bucket ORDER BY doc_id
                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
            AS cum_in_bucket
@@ -119,10 +127,9 @@ SELECT /*+ BROADCAST(b) */
   (b.bucket_offset + i.cum_in_bucket - i.n_tokens) div {c} AS first_chunk,
   (b.bucket_offset + i.cum_in_bucket - 1) div {c}          AS last_chunk,
   (b.bucket_offset + i.cum_in_bucket - 1) div {c}
-    - (b.bucket_offset + i.cum_in_bucket - i.n_tokens) div {c} + 1 AS n_chunks
+    - (b.bucket_offset + i.cum_in_bucket - i.n_tokens) div {c} + 1 AS n_chunks{carry_out}
 FROM inb i JOIN boff b ON b.bucket = i.bucket
 """
-    )
 
 
 def sample_stratified(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -160,20 +167,33 @@ def _pii_text_expr(dialect: str) -> str:
     )
 
 
+def scrub_chain_expr(dialect: str, txt: str | None = None) -> str:
+    """The full PII replacement chain (PII_PATTERNS order) applied to the
+    injected text expression — shared by pii_scrub and the composed
+    dataprep pipeline, in both dialects."""
+    if txt is None:
+        txt = _pii_text_expr(dialect)
+    for _name, pat, repl in PII_PATTERNS:
+        if dialect == "spark":
+            txt = f"regexp_replace({txt}, '{pat.replace(chr(92), chr(92) * 2)}', '{repl}')"
+        else:
+            txt = f"regexp_replace({txt}, '{pat}', '{repl}', 'g')"
+    return txt
+
+
 def pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Regex PII redaction: per-category match counts on the original
     text and a sha256 of the fully scrubbed text (replacement chain in
     PII_PATTERNS order). One codegen projection, no shuffle."""
     _docs(spark, sf_dir)
     txt = _pii_text_expr("spark")
-    scrubbed = txt
+    scrubbed = scrub_chain_expr("spark")
     counts = []
     for name, pat, repl in PII_PATTERNS:
         sp = pat.replace("\\", "\\\\")
         counts.append(
             f"size(regexp_extract_all({txt}, '{sp}', 0)) AS n_{name}"
         )
-        scrubbed = f"regexp_replace({scrubbed}, '{sp}', '{repl}')"
     return spark.sql(
         f"""
 SELECT doc_id,

@@ -177,21 +177,6 @@ def similarity_topk_arrow(spark: SparkSession, sf_dir: str, k: int = TOP_K) -> D
     return sims.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= k)
 
 
-def _plane_sign_spark() -> str:
-    return " + ".join(
-        f"(CASE WHEN aggregate(zip_with(v, planes.p{i}, (x, y) -> x * y), "
-        f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END)"
-        for i in range(LSH_PLANES)
-    )
-
-
-def _plane_arrays_spark() -> str:
-    return ", ".join(
-        f"transform(sequence(0, 63), d -> {PLANE_EXPR.format(i=i)}) AS p{i}"
-        for i in range(LSH_PLANES)
-    )
-
-
 # the perturbed-twin expression, Spark dialect: component d of vec_id's
 # twin is x + EPS * uniform_hash(vec_id, d) with uniform_hash in
 # [-0.5, 0.5) — transform's (element, index) lambda gives d, vec_id is an
@@ -202,64 +187,107 @@ _PERTURB_SPARK = (
 )
 
 
-def _emb_dup_sql_spark(n_bands: int) -> str:
-    """Multi-band (OR-amplified) embedding near-dup SQL, Spark dialect.
+def _emb_dup_build(spark: SparkSession, sf_dir: str, n_bands: int) -> DataFrame:
+    """Multi-band (OR-amplified) embedding near-dup, fit-then-serve shape.
     Band b uses planes b*8 .. b*8+7 of the shared PLANE_EXPR family; a
     pair is a candidate if it collides in ANY band; exact rounded cosine
-    >= threshold is the verification. The long (vec_id, band, bucket)
-    relation makes (band, bucket) the single equi-join/shuffle key — the
-    100 TB path (at scale, materialize `sigs` once instead of letting the
-    CTE re-expand per band arm)."""
+    >= threshold is the verification.
+
+    Catalyst inlines multi-referenced CTEs once PER reference, so the
+    round-4 all-in-one-SQL shape re-ran the 64-plane signature projection
+    (and the embeddings scan under it) once per band arm per self-join
+    side — ~16 redundant table scans at 100 TB. Instead the two shared
+    relations are MATERIALIZED eagerly (localCheckpoint — the repo's
+    fit-then-serve pattern from IVF) before the self-join:
+
+    1. ``aug``: embeddings + perturbed twins — the ONE scan of the table;
+    2. ``bands``: (vec_id, band, bucket) emitted long-form in a single
+       projection (array of per-band buckets + posexplode), so all
+       n_bands signatures are computed in one pass over ``aug``.
+
+    The serving query then only joins materialized relations: (band,
+    bucket) is the single equi-join/shuffle key, and the verify joins
+    ``aug`` back by vec_id. test_emb_dedup_single_scan guards the
+    one-scan property mechanically.
+
+    The signature expression is a NESTED LAMBDA over an array-of-arrays
+    plane relation (pp[b*8+i]) instead of n_bands*8 named plane columns
+    with one CASE each: the flat form's expression tree grows with the
+    band count and its analysis/codegen alone cost more wall than the
+    whole query (measured ~4s driver-side at 64 planes). Arithmetic is
+    bit-identical — same left-to-right zip_with/aggregate fold per plane
+    (verified: both forms produce identical buckets)."""
+    _emb(spark, sf_dir)
     nb = n_bands * LSH_PLANES
-    plane_arrays = ", ".join(
-        f"transform(sequence(0, 63), d -> {PLANE_EXPR.format(i=i)}) AS p{i}"
-        for i in range(nb)
+    # THE one parquet scan — everything downstream reads its checkpoint.
+    # Tiny inputs get spread across cores first: the interpreted
+    # higher-order-function signature pass is the expensive stage and a
+    # one-file read would otherwise run it single-threaded. Inputs already
+    # wider than the core count (the 100 TB case) skip the extra shuffle.
+    base = spark.sql(
+        "SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v "
+        "FROM embeddings"
     )
-    bucket_cols = ", ".join(
-        "("
-        + " + ".join(
-            f"(CASE WHEN aggregate(zip_with(v, planes.p{b * LSH_PLANES + i}, (x, y) -> x * y), "
-            f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END)"
-            for i in range(LSH_PLANES)
-        )
-        + f") AS bucket{b}"
-        for b in range(n_bands)
+    width = spark.sparkContext.defaultParallelism
+    if base.rdd.getNumPartitions() < width:
+        base = base.repartition(width)
+    base = base.localCheckpoint(eager=True)
+    base_view = f"emb_base_{n_bands}"
+    aug_view = f"emb_aug_{n_bands}"
+    bands_view = f"emb_bands_{n_bands}"
+    base.createOrReplaceTempView(base_view)
+    # aug stays a view (re-expanding the cheap union/perturb per reference
+    # only re-reads the checkpoint, never the table)
+    spark.sql(
+        f"""
+CREATE OR REPLACE TEMPORARY VIEW {aug_view} AS
+SELECT vec_id, v FROM {base_view}
+UNION ALL
+SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id, {_PERTURB_SPARK} AS v
+FROM {base_view} WHERE vec_id % {COSINE_DUP_EVERY} = 3
+"""
     )
-    long_union = "\n  UNION ALL\n".join(
-        f"  SELECT vec_id, {b} AS band, bucket{b} AS bucket FROM sigs"
-        for b in range(n_bands)
-    )
-    return f"""
-WITH planes AS (SELECT {plane_arrays}),
-base AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
-),
-aug AS (
-  SELECT vec_id, v FROM base
-  UNION ALL
-  SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id, {_PERTURB_SPARK} AS v
-  FROM base WHERE vec_id % {COSINE_DUP_EVERY} = 3
+    # the expensive dot-products-per-row signature pass runs ONCE and is
+    # checkpointed before the self-join references it twice
+    bands = spark.sql(
+        f"""
+WITH planes AS (
+  SELECT transform(sequence(0, {nb - 1}),
+                   i -> transform(sequence(0, 63), d -> {PLANE_EXPR.format(i="i")})) AS pp
 ),
 sigs AS (
-  SELECT vec_id, {bucket_cols} FROM aug CROSS JOIN planes
-),
-bands_long AS (
-{long_union}
-),
-cand AS (
+  SELECT vec_id,
+    transform(sequence(0, {n_bands - 1}), b ->
+      aggregate(sequence(0, {LSH_PLANES - 1}), 0, (acc, i) ->
+        acc + (CASE WHEN aggregate(
+                      zip_with(v, planes.pp[b * {LSH_PLANES} + i], (x, y) -> x * y),
+                      cast(0.0 AS double), (a2, x) -> a2 + x) > 0
+               THEN shiftleft(1, i) ELSE 0 END))) AS buckets
+  FROM {aug_view} CROSS JOIN planes
+)
+SELECT vec_id, band, bucket
+FROM sigs LATERAL VIEW posexplode(buckets) t AS band, bucket
+"""
+    ).localCheckpoint(eager=True)
+    bands.createOrReplaceTempView(bands_view)
+    return spark.sql(
+        f"""
+WITH cand AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, count(*) AS n_bands
-  FROM bands_long a JOIN bands_long b
+  FROM {bands_view} a JOIN {bands_view} b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
   GROUP BY a.vec_id, b.vec_id
 ),
 pairs AS (
   SELECT c.doc_a, c.doc_b, c.n_bands,
     round({DOT} / ({NORM.format(c='a')} * {NORM.format(c='b')}), 6) AS cosine
-  FROM cand c JOIN aug a ON a.vec_id = c.doc_a JOIN aug b ON b.vec_id = c.doc_b
+  FROM cand c JOIN {aug_view} a ON a.vec_id = c.doc_a
+              JOIN {aug_view} b ON b.vec_id = c.doc_b
 )
 SELECT doc_a, doc_b, n_bands, cosine
 FROM pairs WHERE cosine >= {COSINE_DUP_THRESHOLD}
 """
+    )
 
 
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -274,16 +302,14 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded cosine >= {COSINE_DUP_THRESHOLD} verifies every candidate —
     no all-pairs product anywhere. Input augmented with deterministic
     integer-arithmetic perturbed twins (COSINE_DUP_* / EMB_DUP_*)."""
-    _emb(spark, sf_dir)
-    return spark.sql(_emb_dup_sql_spark(EMB_DUP_BANDS))
+    return _emb_dup_build(spark, sf_dir, EMB_DUP_BANDS)
 
 
 def dedup_embedding_cosine_single_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The deliberately-weak single-band variant, kept as the contrast
     case for the recall test: one 8-plane band misses a measurable
     fraction of true near-dup pairs that the multi-band detector finds."""
-    _emb(spark, sf_dir)
-    return spark.sql(_emb_dup_sql_spark(1))
+    return _emb_dup_build(spark, sf_dir, 1)
 
 
 # IVF parameters: k centroids TRAINED by a deterministic k-means fit

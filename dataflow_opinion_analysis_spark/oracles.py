@@ -256,6 +256,11 @@ def sentiment_sql() -> str:
     return (
         indexer_prefix()
         + f"""
+, doc_tags_str AS (
+  SELECT document_hash, string_agg(token, ',' ORDER BY rk) AS tags_str
+  FROM tags WHERE rk <= {lexicon.TAG_TOP_K}
+  GROUP BY 1
+)
 SELECT
   sha256(p.document_hash || {SEP} || cast(p.passage_idx AS varchar)
          || {SEP} || p.passage_text)             AS SentimentHash,
@@ -263,15 +268,22 @@ SELECT
   p.pub_time                                     AS DocumentTime,
   p.pub_date_id                                  AS DocumentDateId,
   p.passage_text                                 AS Text,
+  CASE WHEN strpos(w.text, p.passage_text) > 0
+       THEN cast(strpos(w.text, p.passage_text) - 1 AS varchar) || ':' ||
+            cast(strpos(w.text, p.passage_text) - 1
+                 + length(p.passage_text) AS varchar)
+  END                                            AS LabelledPositions,
   p.SentimentTotalScore                          AS SentimentTotalScore,
   p.DominantValence                              AS DominantValence,
   {st_cols},
   p.StSentiment                                  AS StSentiment,
   p.web_resource_hash                            AS MainWebResourceHash,
   p.parent_web_resource_hash                     AS ParentWebResourceHash,
-  array_to_string(p.Signals, ';')                AS SignalsStr
+  array_to_string(p.Signals, ';')                AS SignalsStr,
+  coalesce(dts.tags_str, '')                     AS TagsStr
 FROM passages p
 JOIN soft_winners w ON w.expected_document_hash = p.document_hash
+LEFT JOIN doc_tags_str dts ON dts.document_hash = p.document_hash
 """
     )
 

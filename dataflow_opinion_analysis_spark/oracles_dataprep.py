@@ -22,9 +22,10 @@ DUCK_SHINGLES = f"""
                  i -> array_to_string(toks[i:i+{N - 1}], ' '))
 """
 
-SHINGLE_CTE = f"""
+def shingle_cte_duck(rel: str = "documents") -> str:
+    return f"""
 toks AS (
-  SELECT doc_id, {DUCK_TOKENS} AS toks FROM documents
+  SELECT doc_id, {DUCK_TOKENS} AS toks FROM {rel}
 ),
 raw_shingles AS (
   SELECT DISTINCT doc_id, shingle
@@ -40,6 +41,9 @@ shingles AS (
 ),
 sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
+
+
+SHINGLE_CTE = shingle_cte_duck()
 
 DEDUP_EXACT_SQL = """
 WITH norm AS (
@@ -70,8 +74,11 @@ JOIN sizes sb ON sb.doc_id = c.doc_b
 WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {dataprep.JACCARD_THRESHOLD}
 """
 
-DEDUP_MINHASH_LSH_SQL = f"""
-WITH {SHINGLE_CTE},
+def minhash_pairs_ctes_duck(rel: str = "documents") -> str:
+    """CTE chain (no leading WITH) ending in ``pairs`` — the MinHash+LSH
+    near-dup pairs over ``rel``, reused by the standalone gate and the
+    composed dataprep pipeline."""
+    return f"""{shingle_cte_duck(rel)},
 hashed AS (
   SELECT doc_id,
          cast(('0x' || substr(sha256(shingle), 1, 8)) AS bigint) AS h
@@ -101,13 +108,20 @@ common AS (
   JOIN shingles a ON a.doc_id = c.doc_a
   JOIN shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
   GROUP BY c.doc_a, c.doc_b
-)
-SELECT c.doc_a, c.doc_b,
-  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
-FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
-WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {dataprep.JACCARD_THRESHOLD}
+),
+pairs AS (
+  SELECT c.doc_a, c.doc_b,
+    round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
+  FROM common c
+  JOIN sizes sa ON sa.doc_id = c.doc_a
+  JOIN sizes sb ON sb.doc_id = c.doc_b
+  WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {dataprep.JACCARD_THRESHOLD}
+)"""
+
+
+DEDUP_MINHASH_LSH_SQL = f"""
+WITH {minhash_pairs_ctes_duck()}
+SELECT doc_a, doc_b, jaccard FROM pairs
 """
 
 DEDUP_SIMHASH_SQL = f"""
@@ -542,7 +556,87 @@ SELECT vec_id,
 FROM s2
 """
 
+# the composed pipeline: ONE DuckDB chain mirroring
+# operators/dataprep_pipeline.build_dataprep stage for stage
+# (quality+lang filter -> exact dedup -> MinHash near-dedup losers
+# dropped -> PII scrub -> pack over scrubbed text)
+_scrub_kept = _llm.scrub_chain_expr(
+    "duck", _llm._pii_text_expr("duck")
+)
+
+DATAPREP_PIPELINE_SQL = f"""
+WITH dbase AS (
+  SELECT doc_id, lang, coalesce(text, '') AS text, {DUCK_TOKENS} AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id,
+    CASE WHEN len(toks) >= 10 AND length(text) >= 50
+          AND len(list_filter(toks, t -> t IN ({_stop_list})))
+              / cast(greatest(len(toks), 1) AS double) >= 0.01
+         THEN 1 ELSE 0 END AS passes_quality
+  FROM dbase
+),
+langwords(word, lang) AS (VALUES {_lang_values}),
+votes AS (
+  SELECT b.doc_id, l.lang, count(*) AS hits
+  FROM (SELECT doc_id, unnest(toks) AS token FROM dbase) b
+  JOIN langwords l ON l.word = b.token
+  GROUP BY b.doc_id, l.lang
+),
+best AS (
+  SELECT doc_id, lang AS pred_lang,
+         row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, lang ASC) AS rk
+  FROM votes
+),
+filtered AS (
+  SELECT b.doc_id, b.lang, b.text
+  FROM dbase b
+  JOIN q ON q.doc_id = b.doc_id AND q.passes_quality = 1
+  JOIN best p ON p.doc_id = b.doc_id AND p.rk = 1 AND p.pred_lang = 'en'
+),
+norm AS (
+  SELECT doc_id, lang, text,
+         sha256(trim(regexp_replace(lower(coalesce(text,'')), '[^a-z0-9]+', ' ', 'g'))) AS norm_hash
+  FROM filtered
+),
+exact AS (
+  SELECT doc_id, lang, text
+  FROM (SELECT *, min(doc_id) OVER (PARTITION BY norm_hash) AS canon FROM norm)
+  WHERE doc_id = canon
+),
+{minhash_pairs_ctes_duck("exact")},
+kept AS (
+  SELECT e.* FROM exact e
+  WHERE NOT EXISTS (SELECT 1 FROM pairs p WHERE p.doc_b = e.doc_id)
+),
+scrubbed AS (
+  SELECT doc_id, lang, {_scrub_kept} AS text,
+         sha256({_scrub_kept}) AS scrubbed_hash
+  FROM kept
+),
+pbase AS (
+  SELECT doc_id, lang, scrubbed_hash,
+         cast(ceil(length(coalesce(text, '')) / 4.0) AS bigint) + 1 AS n_tokens
+  FROM scrubbed
+),
+cum AS (
+  SELECT *, sum(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cumtok
+  FROM pbase
+)
+SELECT doc_id, lang, n_tokens,
+  cast(cumtok - n_tokens AS bigint)                           AS start_offset,
+  cast((cumtok - n_tokens) // {_llm.PACK_CONTEXT_TOKENS} AS bigint) AS first_chunk,
+  cast((cumtok - 1) // {_llm.PACK_CONTEXT_TOKENS} AS bigint)  AS last_chunk,
+  cast((cumtok - 1) // {_llm.PACK_CONTEXT_TOKENS}
+    - (cumtok - n_tokens) // {_llm.PACK_CONTEXT_TOKENS} + 1 AS bigint) AS n_chunks,
+  scrubbed_hash
+FROM cum
+"""
+
 DATAPREP_ORACLES: dict[str, str] = {
+    "dataprep_pipeline": DATAPREP_PIPELINE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pii_scrub": PII_SCRUB_SQL,

@@ -233,19 +233,39 @@ class IncrementalStatsConsumer:
         os.makedirs(store_root, exist_ok=True)
 
     # -- cursor -------------------------------------------------------------
+    # The cursor is PER TABLE (format 2): a consumer constructed with a
+    # subset (tables=("stattopic",)) must not advance past deltas the
+    # excluded table never consumed — with one shared cursor, a later
+    # full-table consumer on the same store_root would silently miss
+    # those days forever. Flat format-1 cursors are normalized on read
+    # (they were only ever written by full-table consumers, so applying
+    # the one position to every daily table is exact).
+
+    @staticmethod
+    def _empty_pos() -> dict:
+        return {"document": 0, "webresource": 0, "domain": None}
+
     def _cursor_path(self) -> str:
         return os.path.join(self.store_root, self.CURSOR)
 
-    def cursor(self) -> dict[str, int]:
+    def cursor(self) -> dict:
         import json
 
         p = self._cursor_path()
         if not os.path.exists(p):
-            return {"document": 0, "webresource": 0}
+            return {"format": 2, "tables": {}}
         with open(p) as f:
-            return json.load(f)
+            cur = json.load(f)
+        if "tables" in cur:
+            return cur
+        pos = {
+            "document": cur.get("document", 0),
+            "webresource": cur.get("webresource", 0),
+            "domain": cur.get("domain"),
+        }
+        return {"format": 2, "tables": {t: dict(pos) for t in DAILY_TABLES}}
 
-    def _save_cursor(self, cur: dict[str, int]) -> None:
+    def _save_cursor(self, cur: dict) -> None:
         import json
         import uuid
 
@@ -257,59 +277,78 @@ class IncrementalStatsConsumer:
 
     # -- refresh ------------------------------------------------------------
     def refresh(self) -> dict:
+        """Refresh exactly ``self.tables``; returned ``days`` lists only
+        those tables. Tables in the same cursor position share one delta
+        read + affected-days derivation (the common case: all in sync)."""
         cur = self.cursor()
         doc_to = self.document_table.current_snapshot()["version"]
         wr_to = self.webresource_table.current_snapshot()["version"]
-        doc_delta = (
-            self.document_table.incremental_read(cur["document"], doc_to)
-            if doc_to > cur["document"] else None
-        )
-        wr_delta = (
-            self.webresource_table.incremental_read(cur["webresource"], wr_to)
-            if wr_to > cur["webresource"] else None
-        )
-        if doc_delta is None and wr_delta is None:
-            self._save_cursor({**cur, "document": doc_to, "webresource": wr_to})
-            return {
-                "days": {name: [] for name in DAILY_TABLES},
-                "rows": {},
-                "cursor": self.cursor(),
-            }
-        document_full = self.document_table.read()
 
-        prev_domain = tuple(cur["domain"]) if cur.get("domain") else None
-        affected = affected_snapshot_days(
-            self.spark, doc_delta, wr_delta, document_full,
-            prev_domain=prev_domain,
-        )
-        new_cursor = {
-            "document": doc_to,
-            "webresource": wr_to,
-            "domain": list(affected["domain"]) if affected["domain"] else None,
-        }
-        days = {name: affected[name] for name in DAILY_TABLES}
-        result: dict = {"days": days, "rows": {}, "cursor": cur}
-        if not any(days.values()):
-            self._save_cursor(new_cursor)
-            result["cursor"] = self.cursor()
-            return result
-
-        # full fact views (the per-day queries re-aggregate complete days)
-        stats.register_views(
-            self.spark,
-            document_full,
-            self.sentiment_table.read(),
-            self.webresource_table.read(),
-        )
-        sc = self.social_counts
-        if sc is None:
-            sc = self.spark.sql(stats.WRSOCIALCOUNT_SQL)
-        sc.createOrReplaceTempView("wrsocialcount")
-
+        groups: dict[tuple, list[str]] = {}
         for name in self.tables:
-            if days[name]:
+            pos = cur["tables"].get(name, self._empty_pos())
+            key = (
+                pos["document"], pos["webresource"],
+                tuple(pos["domain"]) if pos.get("domain") else None,
+            )
+            groups.setdefault(key, []).append(name)
+
+        new_tables = {k: dict(v) for k, v in cur["tables"].items()}
+        days: dict[str, list[int]] = {name: [] for name in self.tables}
+        result: dict = {"days": days, "rows": {}, "cursor": cur}
+        document_full: DataFrame | None = None
+        views_ready = False
+        for (doc_from, wr_from, prev_domain), names in groups.items():
+            doc_delta = (
+                self.document_table.incremental_read(doc_from, doc_to)
+                if doc_to > doc_from else None
+            )
+            wr_delta = (
+                self.webresource_table.incremental_read(wr_from, wr_to)
+                if wr_to > wr_from else None
+            )
+            if doc_delta is None and wr_delta is None:
+                for name in names:
+                    new_tables[name] = {
+                        "document": doc_to, "webresource": wr_to,
+                        "domain": list(prev_domain) if prev_domain else None,
+                    }
+                continue
+            if document_full is None:
+                document_full = self.document_table.read()
+            affected = affected_snapshot_days(
+                self.spark, doc_delta, wr_delta, document_full,
+                prev_domain=prev_domain,
+            )
+            new_pos = {
+                "document": doc_to, "webresource": wr_to,
+                "domain": (
+                    list(affected["domain"]) if affected["domain"] else None
+                ),
+            }
+            for name in names:
+                days[name] = affected[name]
+                new_tables[name] = dict(new_pos)
+            todo = [n for n in names if days[n]]
+            if todo and not views_ready:
+                # full fact views (per-day queries re-aggregate whole days)
+                stats.register_views(
+                    self.spark,
+                    document_full,
+                    self.sentiment_table.read(),
+                    self.webresource_table.read(),
+                )
+                sc = self.social_counts
+                if sc is None:
+                    sc = self.spark.sql(stats.WRSOCIALCOUNT_SQL)
+                sc.createOrReplaceTempView("wrsocialcount")
+                views_ready = True
+            for name in todo:
                 store = DailyStatsStore(self.spark, self.store_root, name)
                 result["rows"][name] = store.run_for_days(days[name])
-        self._save_cursor(new_cursor)
+
+        # written AFTER the day partitions commit (crash replays the delta;
+        # per-day recompute is idempotent)
+        self._save_cursor({"format": 2, "tables": new_tables})
         result["cursor"] = self.cursor()
         return result

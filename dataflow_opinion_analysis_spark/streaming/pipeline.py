@@ -82,7 +82,13 @@ def _write_metrics_row(metrics_dir: str, *, max_event_ts, **counts) -> None:
 
     os.makedirs(metrics_dir, exist_ok=True)
     cols = {k: pa.array([v], type=pa.int64()) for k, v in counts.items()}
-    cols["max_event_ts"] = pa.array([max_event_ts], type=pa.timestamp("us"))
+    # tz-aware (isAdjustedToUTC=true) to match rows a Spark TimestampType
+    # writer would produce — a resumed out_root must not mix LTZ and NTZ
+    # files in one directory (read fails or shifts depending on
+    # spark.sql.parquet.inferTimestampNTZ)
+    cols["max_event_ts"] = pa.array(
+        [max_event_ts], type=pa.timestamp("us", tz="UTC")
+    )
     table = pa.table(cols)
     tmp = os.path.join(metrics_dir, f".tmp-{_uuid.uuid4().hex}.parquet")
     pq.write_table(table, tmp)

@@ -405,12 +405,14 @@ class MergeTable:
 
         n = wrow["n"]
         if n == 0:
-            # nothing new — still record the batch id so replays skip work
+            # nothing new — still record the batch id so replays skip work.
+            # Deliberately do NOT fold batch.columns into the manifest:
+            # schema evolution must track columns present in data files
+            # actually written, else an all-suppressed batch carrying a
+            # new column would pin a column no file has and every
+            # subsequent read()'s select(*columns) would fail unresolved.
             entry = {"batch_id": batch_id, "files": [], "rows": 0, "ts": time.time()}
-            self._commit(
-                self._next_snap(snap, snap["files"], entry,
-                                batch_columns=batch.columns)
-            )
+            self._commit(self._next_snap(snap, snap["files"], entry))
             return 0
 
         stats = {}
@@ -462,7 +464,8 @@ class MergeTable:
         self._commit(
             self._next_snap(
                 fresh, [{"path": out_file, "rows": n, **stats}] if n else [], entry,
-                batch_columns=df.columns,
+                # columns pin only when a data file exists to back them
+                batch_columns=df.columns if n else None,
             )
         )
         return n
@@ -482,21 +485,36 @@ class MergeTable:
             os.remove(self._manifest_path(v))
         return expired
 
-    def vacuum(self) -> list[str]:
+    def vacuum(self, min_age_sec: float = 4 * 3600.0) -> list[str]:
         """Delete data files referenced by NO retained snapshot (neither
         as live table files nor as a retained snapshot's lineage files,
         which incremental_read still needs). Run after
-        expire_snapshots(); returns deleted paths."""
+        expire_snapshots(); returns deleted paths.
+
+        ``min_age_sec`` is the orphan-age grace (Iceberg's
+        remove_orphan_files ``older_than``, default 3 days; we default 4h):
+        merge() writes its parquet directory BEFORE committing the
+        manifest, so a concurrent or about-to-be-replayed writer may own
+        an unreferenced-but-fresh directory. Only directories whose mtime
+        is older than the cutoff are eligible; pass 0 only when no writer
+        can be active (tests do)."""
         referenced: set[str] = set()
         for v in self.retained_versions():
             s = self._load_version(v)
             referenced.update(fe["path"] for fe in s["files"])
             e = s.get("lineage_entry") or {}
             referenced.update(e.get("files", []))
+        cutoff = time.time() - min_age_sec
         deleted = []
         for name in sorted(os.listdir(self.data_dir)):
             p = os.path.join(self.data_dir, name)
-            if p not in referenced:
-                shutil.rmtree(p, ignore_errors=True)
-                deleted.append(p)
+            if p in referenced:
+                continue
+            try:
+                if os.path.getmtime(p) > cutoff:
+                    continue  # young orphan: possibly a mid-merge writer's
+            except OSError:
+                continue
+            shutil.rmtree(p, ignore_errors=True)
+            deleted.append(p)
         return deleted

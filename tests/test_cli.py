@@ -242,7 +242,8 @@ def test_cli_stream_statsrefresh_maintenance_chain(spark, tmp_path):
     cli.main(["statsrefresh", "--output", out, "--store-root", store])
 
     cur = json.load(open(os.path.join(store, "_cursor.json")))
-    assert cur["document"] >= 1 and cur["webresource"] >= 1
+    for pos in cur["tables"].values():
+        assert pos["document"] >= 1 and pos["webresource"] >= 1
     imp = spark.read.parquet(os.path.join(store, "statstoryimpact"))
     n1 = imp.count()
     assert n1 > 0

