@@ -343,6 +343,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "similarity_ann_ivf": similarity.similarity_ann_ivf,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "multimodal_metadata": multimodal.multimodal_metadata,
+        "multimodal_features": multimodal.multimodal_features,
         "pack_sequences": llmprep.pack_sequences,
         "sample_stratified": llmprep.sample_stratified,
         "pii_scrub": llmprep.pii_scrub,
@@ -357,6 +358,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     events_fns = {
         "statngram": events_ops.statngram,
         "wrsocialcount": events_ops.wrsocialcount,
+        "wrsocialcount_jdbc": events_ops.wrsocialcount_jdbc,
         "events_sessionization": events_ops.events_sessionization,
         "events_tumbling_agg": events_ops.events_tumbling_agg,
         "events_topk_salted": events_ops.events_topk_salted,

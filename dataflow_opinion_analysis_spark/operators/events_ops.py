@@ -86,7 +86,17 @@ JOIN latest l
 
 def events_sessionization(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Batch sessionization: lag + conditional cumsum per user — the
-    batch analog of session_window (R3). 30-minute gap."""
+    batch analog of session_window (R3). 30-minute gap.
+
+    Skew note: the per-user running window serializes each user through
+    one task — inherent to exact batch sessionization (the running sum
+    is order-dependent), and bounded by a single user's activity, not
+    table size. If one user ever dominates, the same two-phase trick the
+    repo uses elsewhere applies: split each user's stream at coarse time
+    boundaries (day buckets), sessionize within buckets in parallel, and
+    stitch only the boundary-crossing sessions (merge last/first session
+    per adjacent bucket pair) — cf. hints.salted_top_k and
+    llmprep.pack_sql_spark's bucketed prefix sum."""
     _view(spark, sf_dir, "events")
     return spark.sql(
         f"""
@@ -225,6 +235,58 @@ def social_counts_from_jdbc(raw: DataFrame, existing: DataFrame | None = None) -
             .drop("_last_count_time")
         )
     return out
+
+
+def wrsocialcount_jdbc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full S2+J4 composition as a driver-visible gate (previously
+    pytest-only via `cli socialstats`): events rows are loaded into a REAL
+    embedded-Derby JDBC database as the reference's `pages`/`social_stats`
+    tables, read back through the generated social-stats import SQL
+    (sources/files.build_jdbc_social_stats_query,
+    IndexerPipelineUtils.java:194-224), and mapped to wrsocialcount rows
+    (social_counts_from_jdbc). The DuckDB oracle replays the identical
+    derivation + aggregation from the events parquet directly.
+
+    A deterministic user subset (user_id % 5 = 0) bounds the Derby write
+    at any sf; timestamps are truncated to whole seconds on BOTH sides so
+    the JDBC roundtrip is precision-lossless."""
+    import tempfile
+
+    from pyspark.sql import functions as F
+
+    from dataflow_opinion_analysis_spark.sources.files import (
+        build_jdbc_social_stats_query,
+        read_jdbc,
+    )
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").where("user_id % 5 = 0")
+    dbdir = tempfile.mkdtemp(prefix="wrsocial_derby_")
+    url = f"jdbc:derby:{dbdir}/db;create=true"
+    driver = "org.apache.derby.jdbc.EmbeddedDriver"
+
+    pages = ev.groupBy("user_id").agg(
+        F.date_trunc("second", F.min("ts")).alias("PUB_AT")
+    ).select(
+        F.col("user_id").cast("int").alias("ID"),
+        F.concat(F.lit("http://social.example/u/"), F.col("user_id")).alias("URL"),
+        "PUB_AT",
+    )
+    social = ev.select(
+        F.col("user_id").cast("int").alias("PAGE_ID"),
+        F.date_trunc("second", F.col("ts")).alias("CREATED_AT"),
+        (F.col("event_id") % 2 + 1).cast("int").alias("PROVIDER_ID"),
+        F.floor("value").cast("int").alias("CNT"),
+    )
+    # VARCHAR, not the default CLOB: the generated query GROUPs BY p.url
+    # and Derby cannot group a CLOB
+    pages.write.format("jdbc").option("url", url).option("driver", driver) \
+        .option("createTableColumnTypes", "URL VARCHAR(300)") \
+        .option("dbtable", "PAGES").mode("overwrite").save()
+    social.write.format("jdbc").option("url", url).option("driver", driver) \
+        .option("dbtable", "SOCIAL_STATS").mode("overwrite").save()
+
+    raw = read_jdbc(spark, url, build_jdbc_social_stats_query(), driver=driver)
+    return social_counts_from_jdbc(raw, existing=None)
 
 
 def events_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -76,3 +76,65 @@ def multimodal_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents -> binary payload -> stub decode -> typed metadata rows."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_payload(docs).mapInPandas(decode_metadata_map, META_SCHEMA)
+
+
+FEATURES_SCHEMA = (
+    "doc_id long, modality string, n_bytes int, mean_byte double, "
+    "hist_str string, pooled_str string, sampled_sha string"
+)
+HIST_BINS = 8  # byte-value histogram: code // 32 -> bins 0..7
+POOL_BUCKETS = 8  # 'resize': block-mean pool the byte raster to 8 buckets
+FRAME_STRIDE = 16  # 'frame-sample': every 16th byte
+
+
+def features_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas feature-extraction stage over the (fake-)decoded byte
+    raster — REAL vectorized numpy per payload: histogram (np.bincount),
+    block-mean pooling (the 1-D analog of image resize), stride frame
+    sampling + hash. Only the format decode is faked (np.frombuffer
+    instead of PIL/av — this sandbox has neither); every downstream
+    array op is exactly what a real raster would get."""
+    import numpy as np
+
+    for pdf in batches:
+        out_rows = []
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            arr = np.frombuffer(payload, dtype=np.uint8)
+            n = arr.size
+            if n:
+                mean_byte = round(float(arr.mean()), 6)
+                hist = np.bincount(arr // 32, minlength=HIST_BINS)[:HIST_BINS]
+                hist_str = ",".join(str(int(c)) for c in hist)
+                bucket = np.arange(n, dtype=np.int64) * POOL_BUCKETS // n
+                # pooled block SUMS (integer-exact — no FP formatting to
+                # keep bit-identical across engines; mean = sum/count is
+                # derivable, counts are n//8-balanced by construction)
+                sums = np.bincount(bucket, weights=arr, minlength=POOL_BUCKETS)
+                pooled_str = ",".join(str(int(s)) for s in sums[:POOL_BUCKETS])
+            else:
+                mean_byte = None
+                hist_str = ",".join(["0"] * HIST_BINS)
+                pooled_str = ",".join(["0"] * POOL_BUCKETS)
+            sampled_sha = hashlib.sha256(bytes(arr[::FRAME_STRIDE])).hexdigest()
+            out_rows.append(
+                (doc_id, modality, n, mean_byte, hist_str, pooled_str, sampled_sha)
+            )
+        yield pd.DataFrame(
+            out_rows,
+            columns=[
+                "doc_id", "modality", "n_bytes", "mean_byte",
+                "hist_str", "pooled_str", "sampled_sha",
+            ],
+        )
+
+
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> payload -> decode(raster) -> feature extraction:
+    byte-value histogram, block-mean 'resize' pooling, stride 'frame
+    sampling' + content hash. The DuckDB oracle replays the identical
+    arithmetic over char codes (the corpus is ASCII, so char codes ==
+    payload bytes — asserted cheaply by n_bytes matching length())."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return with_payload(docs).mapInPandas(features_map, FEATURES_SCHEMA)

@@ -635,8 +635,66 @@ SELECT doc_id, lang, n_tokens,
 FROM cum
 """
 
+# DuckDB replay of operators/multimodal.multimodal_features: the corpus
+# is ASCII so char codes == payload bytes; histogram / block-sum pooling /
+# stride sampling replayed with integer-exact arithmetic (pooled values
+# are SUMS, not means, precisely to avoid FP string formatting).
+MULTIMODAL_FEATURES_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (['image','audio','video'])[cast(doc_id % 3 + 1 AS int)] AS modality,
+         coalesce(text, '') AS t
+  FROM documents
+),
+cs AS (SELECT doc_id, length(t) AS n, string_split(t, '') AS chars FROM p),
+codes AS (
+  SELECT doc_id, n, u.i, ord(chars[u.i]) AS code
+  FROM cs, unnest(generate_series(1, n)) AS u(i)
+),
+bins AS (SELECT unnest(generate_series(0, 7)) AS bin),
+stats AS (
+  SELECT doc_id, round(avg(code), 6) AS mean_byte FROM codes GROUP BY 1
+),
+hist_counts AS (
+  SELECT doc_id, code // 32 AS bin, count(*) AS cnt FROM codes GROUP BY 1, 2
+),
+hist AS (
+  SELECT p.doc_id,
+         string_agg(cast(coalesce(hc.cnt, 0) AS varchar), ',' ORDER BY b.bin) AS hist_str
+  FROM p CROSS JOIN bins b
+  LEFT JOIN hist_counts hc ON hc.doc_id = p.doc_id AND hc.bin = b.bin
+  GROUP BY p.doc_id
+),
+pool_sums AS (
+  SELECT doc_id, ((i - 1) * 8) // n AS bucket, sum(code) AS s
+  FROM codes GROUP BY 1, 2
+),
+pooled AS (
+  SELECT p.doc_id,
+         string_agg(cast(cast(coalesce(ps.s, 0) AS bigint) AS varchar), ',' ORDER BY b.bin) AS pooled_str
+  FROM p CROSS JOIN bins b
+  LEFT JOIN pool_sums ps ON ps.doc_id = p.doc_id AND ps.bucket = b.bin
+  GROUP BY p.doc_id
+),
+sampled AS (
+  SELECT doc_id, sha256(string_agg(chr(code), '' ORDER BY i)) AS sampled_sha
+  FROM codes WHERE (i - 1) % 16 = 0 GROUP BY doc_id
+)
+SELECT p.doc_id, p.modality, cast(length(p.t) AS int) AS n_bytes,
+  s.mean_byte AS mean_byte,
+  h.hist_str AS hist_str,
+  po.pooled_str AS pooled_str,
+  coalesce(sa.sampled_sha, sha256('')) AS sampled_sha
+FROM p
+LEFT JOIN stats s ON s.doc_id = p.doc_id
+LEFT JOIN hist h ON h.doc_id = p.doc_id
+LEFT JOIN pooled po ON po.doc_id = p.doc_id
+LEFT JOIN sampled sa ON sa.doc_id = p.doc_id
+"""
+
 DATAPREP_ORACLES: dict[str, str] = {
     "dataprep_pipeline": DATAPREP_PIPELINE_SQL,
+    "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pii_scrub": PII_SCRUB_SQL,

@@ -124,9 +124,60 @@ SELECT event_type, rk, event_id, CAST(round(value * 100) AS BIGINT) AS value_c
 FROM r WHERE rk <= 5
 """
 
+# DuckDB replay of the Derby-backed composition in
+# operators/events_ops.wrsocialcount_jdbc: the same pages/social_stats
+# derivation from events, the generated import SQL's two-level
+# aggregation (IndexerPipelineUtils.java:194-224), then the
+# social_counts_from_jdbc mapping (epoch-millis web-resource hash).
+WRSOCIALCOUNT_JDBC_SQL = """
+WITH ev AS (
+  SELECT * FROM events WHERE user_id % 5 = 0
+),
+pages AS (
+  SELECT cast(user_id AS int) AS id,
+         'http://social.example/u/' || cast(user_id AS varchar) AS url,
+         date_trunc('second', min(ts)) AS pub_at
+  FROM ev GROUP BY user_id
+),
+social_stats AS (
+  SELECT cast(user_id AS int) AS page_id,
+         date_trunc('second', ts) AS created_at,
+         cast(event_id % 2 + 1 AS int) AS provider_id,
+         cast(floor(value) AS int) AS cnt
+  FROM ev
+),
+a1 AS (
+  SELECT p.pub_at AS page_pub_time, p.url AS url,
+         '01' AS doc_col_id, s.page_id AS col_item_id,
+         s.created_at AS count_time,
+         SUM(CASE WHEN s.provider_id = 1 THEN s.cnt ELSE 0 END) AS count_tw,
+         SUM(CASE WHEN s.provider_id = 2 THEN s.cnt ELSE 0 END) AS count_fb
+  FROM social_stats s INNER JOIN pages p ON p.id = s.page_id
+  WHERE s.cnt > 0
+  GROUP BY p.pub_at, p.url, s.page_id, s.created_at
+),
+agg AS (
+  SELECT page_pub_time, url, doc_col_id, col_item_id,
+         MAX(count_time) AS count_time, count_tw, count_fb
+  FROM a1
+  GROUP BY page_pub_time, url, doc_col_id, col_item_id, count_tw, count_fb
+)
+SELECT
+  sha256(coalesce(cast(cast(cast(epoch(page_pub_time) AS double) * 1000 AS bigint) AS varchar), '')
+         || chr(31) || coalesce(url, ''))        AS WebResourceHash,
+  cast(strftime(page_pub_time, '%Y%m%d') AS int) AS WrPublicationDateId,
+  count_time                                     AS CountTime,
+  doc_col_id                                     AS DocumentCollectionId,
+  cast(col_item_id AS varchar)                   AS CollectionItemId,
+  cast(count_fb AS int)                          AS FbCount,
+  cast(count_tw AS int)                          AS TwCount
+FROM agg
+"""
+
 EVENTS_ORACLES: dict[str, str] = {
     "statngram": STATNGRAM_SQL,
     "wrsocialcount": WRSOCIALCOUNT_SQL,
+    "wrsocialcount_jdbc": WRSOCIALCOUNT_JDBC_SQL,
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "events_tumbling_agg": EVENTS_TUMBLING_AGG_SQL,
     "tpch_q1_like": TPCH_Q1_SQL,

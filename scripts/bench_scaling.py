@@ -455,6 +455,22 @@ def write_md(result: dict) -> None:
         "flags). Noisy pairs are excluded from the median; their",
         "efficiencies are shown above, unhidden.",
         "",
+        "## Protocol freeze (round 5)",
+        "",
+        "The noise-flag set is FROZEN as of commit 1ae4793: a pair is",
+        "noisy iff (1) bracket-probe drift >25%, (2) any bracket probe",
+        "< 170 Miter/s, or (3) the two sides' mean probes diverge >10%.",
+        "Every flag to date was added after an adverse result — a one-way",
+        "ratchet a skeptical reader should discount — so from round 5 on:",
+        "NO new flags, and any future flag-set change must re-run the",
+        "then-standing headline under the changed set before it counts.",
+        "Round-5 confirmation policy, pre-registered BEFORE the run: one",
+        "stream local[2]->local[8] invocation under the frozen set, result",
+        "recorded headline-or-failure in the History section, no retries",
+        "until clean unless EVERY pair is flagged (a fully-flagged run",
+        "determines nothing and may be repeated on a quieter window, each",
+        "attempt recorded).",
+        "",
         "Reproduce the headline (streaming engine, ~1h incl. quiet waits):",
         "",
         "    python scripts/bench_scaling.py --mode stream \\",

@@ -254,3 +254,30 @@ def test_salted_top_k_equals_plain_window(spark):
         got._jdf.queryExecution(), "extended"
     ) if hasattr(got, "_jdf") else got._explain_string()  # fallback
     assert "_salt" in plan
+
+
+def test_multimodal_features_internal_consistency(spark):
+    """Feature extraction over the byte raster: histogram bins sum to the
+    byte count, pooled block sums total the byte sum, and the stride
+    sample hash equals a recomputation from the raw payload."""
+    import hashlib
+
+    import numpy as np
+
+    from dataflow_opinion_analysis_spark.operators import multimodal
+    from tests.conftest import SF_DIR
+
+    rows = {
+        r.doc_id: r
+        for r in multimodal.multimodal_features(spark, SF_DIR).collect()
+    }
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").collect()
+    assert len(rows) == len(docs)
+    for d in docs[:50]:
+        r = rows[d.doc_id]
+        arr = np.frombuffer((d.text or "").encode("utf-8"), dtype=np.uint8)
+        assert r.n_bytes == arr.size
+        assert sum(int(x) for x in r.hist_str.split(",")) == arr.size
+        assert sum(int(x) for x in r.pooled_str.split(",")) == int(arr.sum())
+        want = hashlib.sha256(bytes(arr[::multimodal.FRAME_STRIDE])).hexdigest()
+        assert r.sampled_sha == want

@@ -150,3 +150,17 @@ def test_emb_dedup_single_scan(spark):
     assert "ExistingRDD" in plan, plan[:3000]
     src = inspect.getsource(similarity._emb_dup_build)
     assert src.count("FROM embeddings") == 1
+
+
+def test_dataprep_pipeline_plan_clean(spark):
+    """The composed prep pipeline's serving plan: no cartesian/BNL, and
+    every stage input is a pre-materialized checkpoint (stage barriers —
+    Catalyst must not re-expand an upstream stage per reference)."""
+    from dataflow_opinion_analysis_spark.operators.dataprep_pipeline import (
+        dataprep_pipeline,
+    )
+
+    df = dataprep_pipeline(spark, SF_DIR)
+    assert_clean(df, "dataprep_pipeline")
+    plan = plan_of(df)
+    assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:3000]
