@@ -505,7 +505,12 @@ def write_md(result: dict) -> None:
         "phase) / 1.011 / 0.931 (both auto-flagged noisy) — all-pairs",
         "median 0.931, consistent with the committed 0.827 but without a",
         "clean >=0.8 median of its own; recorded unhidden in",
-        "scaling_runs.json.",
+        "scaling_runs.json. Round-5 pre-registered confirmation attempt",
+        "#1 (2026-08-18T04:50Z): the driver session was killed (infra)",
+        "after pair 1 of 3; that pair measured 0.702 and was auto-flagged",
+        "by the frozen set (drift 0.287, side asymmetry 0.184) — a",
+        "fully-flagged attempt, recorded in scaling_runs.json and",
+        "repeated per the pre-registered fully-flagged-run clause.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
