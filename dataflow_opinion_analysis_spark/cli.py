@@ -23,6 +23,7 @@ Subcommands:
   compact-fingerprints bound the near-dup fingerprint store
   dataprep   composed training-data prep: quality/lang filter -> exact +
              MinHash dedup -> PII scrub -> sequence packing
+             (--shards-out adds a final deterministic shard write)
   datagen    deterministic synthetic transcripts generator
 """
 
@@ -236,18 +237,40 @@ def cmd_dataprep(args) -> int:
 
     spark = _spark(args)
     docs = spark.read.parquet(args.input)
-    st = build_dataprep(spark, docs)
+    eval_docs = (
+        spark.read.parquet(args.decontaminate_against)
+        if getattr(args, "decontaminate_against", None) else None
+    )
+    st = build_dataprep(
+        spark, docs,
+        repetition_filter=getattr(args, "repetition_filter", False),
+        eval_docs=eval_docs,
+    )
     packed = st.packed
     packed.write.mode(args.mode).parquet(args.output)
     counts = {
         "input": docs.count(),
-        "quality_lang": st.filtered.count(),
+        "quality_lang": st.quality.count(),
+        **({"repetition_filter": st.post_repetition.count()}
+           if st.post_repetition is not None else {}),
+        **({"decontaminate": st.post_decontam.count()}
+           if st.post_decontam is not None else {}),
         "exact_dedup": st.exact.count(),
         "near_dedup": st.kept.count(),
         "pii_scrub": st.scrubbed.count(),
         "pack": spark.read.parquet(args.output).count(),
     }
-    print(json.dumps({"stages": counts, "output": args.output}))
+    out = {"stages": counts, "output": args.output}
+    if getattr(args, "shards_out", None):
+        from dataflow_opinion_analysis_spark.operators.curation import (
+            N_SHARDS,
+            write_training_shards,
+        )
+
+        write_training_shards(spark.read.parquet(args.output), args.shards_out)
+        counts["shards"] = N_SHARDS
+        out["shards_out"] = args.shards_out
+    print(json.dumps(out))
     spark.stop()
     return 0
 
@@ -347,6 +370,21 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--input", required=True, help="documents-shaped parquet (doc_id, lang, text)")
     p.add_argument("--output", required=True, help="packed-table output dir")
     p.add_argument("--mode", default="overwrite")
+    p.add_argument(
+        "--shards-out", default=None,
+        help="also write the packed table as N_SHARDS deterministic "
+             "training shards (one exchange + local sort; "
+             "operators/curation.write_training_shards)",
+    )
+    p.add_argument(
+        "--repetition-filter", action="store_true",
+        help="drop docs failing the Gopher repetition rules before dedup",
+    )
+    p.add_argument(
+        "--decontaminate-against", default=None,
+        help="(doc_id, text) parquet benchmark suite: drop docs sharing "
+             ">= DECON_MIN_SHARED word-n-grams with any eval doc",
+    )
     p.set_defaults(fn=cmd_dataprep)
 
     p = sub.add_parser("datagen")

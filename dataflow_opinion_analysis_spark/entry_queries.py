@@ -352,6 +352,18 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     for name, fn in dataprep_fns.items():
         reg[name] = (fn, oracles_dataprep.DATAPREP_ORACLES.get(name))
 
+    from dataflow_opinion_analysis_spark import oracles_curation
+    from dataflow_opinion_analysis_spark.operators import curation
+
+    curation_fns = {
+        "decontaminate": curation.decontaminate,
+        "quality_repetition": curation.quality_repetition,
+        "shard_for_training": curation.shard_for_training,
+        "cap_per_source": curation.cap_per_source,
+    }
+    for name, fn in curation_fns.items():
+        reg[name] = (fn, oracles_curation.CURATION_ORACLES.get(name))
+
     from dataflow_opinion_analysis_spark import oracles_events
     from dataflow_opinion_analysis_spark.operators import events_ops
 

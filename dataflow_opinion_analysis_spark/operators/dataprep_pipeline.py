@@ -23,6 +23,10 @@ Stage semantics (each stage consumes the previous stage's survivors):
    offsets + context-window chunk ranges via the two-phase distributed
    prefix sum.
 
+Optional curation stages between 1 and 2 (OFF in the gated query;
+operators/curation.py): Gopher repetition filtering and n-gram
+benchmark decontamination against a caller-supplied eval suite.
+
 Scale shape: every stage's plan is the already-audited per-operator
 plan (equi-join banding, hash aggregates, two-phase prefix sum), and
 stages are separated by eager localCheckpoint barriers so Catalyst
@@ -96,18 +100,55 @@ WHERE doc_id = canon
 
 
 def build_dataprep(
-    spark: SparkSession, docs: DataFrame, materialize: bool = True
+    spark: SparkSession,
+    docs: DataFrame,
+    materialize: bool = True,
+    repetition_filter: bool = False,
+    eval_docs: DataFrame | None = None,
 ) -> SimpleNamespace:
     """Run the composed pipeline over ``docs`` (doc_id, lang, text, ...).
     Returns the stage DataFrames: .filtered .exact .kept .scrubbed .packed
-    — each checkpointed (when ``materialize``) so no stage re-executes."""
+    — each checkpointed (when ``materialize``) so no stage re-executes.
+
+    Optional curation stages (operators/curation.py), both applied to the
+    quality/lang survivors BEFORE dedup so contaminated/repetitive docs
+    never enter the expensive pair joins:
+
+    - ``repetition_filter``: drop docs failing the Gopher repetition
+      rules (production form — no injection);
+    - ``eval_docs``: a (doc_id, text) benchmark suite; docs sharing
+      >= DECON_MIN_SHARED word-{DECON_N}-grams with any eval doc are
+      dropped (n-gram decontamination; eval index broadcast).
+    The gate (`dataprep_pipeline`) runs with both OFF — its DuckDB
+    oracle chain is unchanged; tests/test_curation.py exercises the
+    extended composition."""
 
     def _ckpt(df: DataFrame) -> DataFrame:
         return df.localCheckpoint(eager=True) if materialize else df
 
     docs.createOrReplaceTempView("dp_input")
-    filtered = _ckpt(spark.sql(_filter_sql_spark("dp_input")))
+    quality = filtered = _ckpt(spark.sql(_filter_sql_spark("dp_input")))
     filtered.createOrReplaceTempView("dp_filtered")
+
+    post_repetition = post_decontam = None
+    if repetition_filter:
+        from dataflow_opinion_analysis_spark.operators import curation
+
+        rep = spark.sql(
+            curation.quality_repetition_sql_spark("dp_filtered", inject=False)
+        )
+        keep = rep.filter("passes_repetition").select("doc_id")
+        filtered = post_repetition = _ckpt(filtered.join(keep, "doc_id", "left_semi"))
+        filtered.createOrReplaceTempView("dp_filtered")
+    if eval_docs is not None:
+        from dataflow_opinion_analysis_spark.operators import curation
+
+        eval_docs.createOrReplaceTempView("dp_eval")
+        bad = spark.sql(
+            curation.decontam_filter_ids_sql_spark("dp_filtered", "dp_eval")
+        )
+        filtered = post_decontam = _ckpt(filtered.join(bad, "doc_id", "left_anti"))
+        filtered.createOrReplaceTempView("dp_filtered")
 
     exact = _ckpt(spark.sql(_exact_keep_sql_spark("dp_filtered")))
     exact.createOrReplaceTempView("dp_exact")
@@ -130,7 +171,9 @@ def build_dataprep(
         llmprep.pack_sql_spark("dp_scrubbed", carry_cols=("lang", "scrubbed_hash"))
     )
     return SimpleNamespace(
-        filtered=filtered, exact=exact, kept=kept, scrubbed=scrubbed, packed=packed
+        filtered=filtered, exact=exact, kept=kept, scrubbed=scrubbed, packed=packed,
+        quality=quality,
+        post_repetition=post_repetition, post_decontam=post_decontam,
     )
 
 
