@@ -512,6 +512,29 @@ def write_md(result: dict) -> None:
         "fully-flagged attempt, recorded in scaling_runs.json and",
         "repeated per the pre-registered fully-flagged-run clause.",
         "",
+        "**Round-5 pre-registered confirmation, attempt #2",
+        "(2026-08-18T06:38Z) — the binding one: FAILED.** Pairs 0.649",
+        "(CLEAN: drift 0.092, asymmetry 0.0) / 0.717 (noisy, asymmetry",
+        "0.101) / 0.803 (noisy, drift 0.238); clean-pair median 0.649 <",
+        "0.8. One pair was clean, so per the pre-registration the result",
+        "binds — no retry, no new flags, recorded as the standing",
+        "confirmation outcome. The round-4 0.827 session is hereby",
+        "DEMOTED to best-observed-session: pooling every protocol-valid",
+        "CLEAN stream 2->8 pair to date (0.927 / 0.827 / 0.724 from the",
+        "round-4 headline session, 0.619 end-of-round-4, 0.649",
+        "confirmation) gives a **pooled clean-pair median of 0.724** —",
+        "the number a skeptical reader should use. The stream 2->8",
+        ">=0.8 criterion is therefore NOT confirmed as reproducible on",
+        "this host; batch 2->8 remains 0.909 (round 3). The failure is",
+        "informative, not mysterious: between round 4 and the",
+        "confirmation the 2-core side got ~13% FASTER (1640 -> 1840",
+        "steady tps) while the 8-core side stayed flat (5424 -> 4776),",
+        "i.e. the parallel fraction shrank while the per-micro-batch",
+        "serial residue (planning, state commit, manifest MERGE) did",
+        "not — Amdahl moved the ratio down. Any future >=0.8 claim must",
+        "come from cutting that serial residue and re-measuring under",
+        "the SAME frozen flags, recorded here win-or-lose.",
+        "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
         "",
