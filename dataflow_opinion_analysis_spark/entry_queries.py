@@ -344,6 +344,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": multimodal.multimodal_features,
+        "multimodal_decode": multimodal.multimodal_decode,
         "pack_sequences": llmprep.pack_sequences,
         "sample_stratified": llmprep.sample_stratified,
         "pii_scrub": llmprep.pii_scrub,

@@ -1,13 +1,23 @@
 """Multimodal columns: opaque binary payloads + typed metadata.
 
-The container has no image/audio/video libraries (Pillow, ffmpeg, ...),
-so the decode step is a clearly marked STUB — a deterministic fake that
-exercises the REAL Spark plumbing end to end: binary column handling,
-Arrow batch transfer of bytes into pandas, mapInPandas batch shape,
-output schema, and partition-preserving metadata extraction.
+Two tiers:
 
-Swap `_fake_decode_image` for a real decoder (e.g. PIL + numpy) on a
-cluster with the libs installed; nothing else changes.
+1. `multimodal_metadata` / `multimodal_features` — the byte-raster tier:
+   payloads are opaque bytes and the "decode" is a clearly marked STUB
+   (deterministic arithmetic) exercising the REAL Spark plumbing: binary
+   column handling, Arrow batch transfer of bytes into pandas,
+   mapInPandas batch shape, output schema, vectorized numpy feature
+   extraction.
+
+2. `multimodal_decode` — the REAL decode tier: payloads are genuine
+   binary files in formats parseable without external libraries (P6 PPM
+   images, RIFF/WAVE PCM audio via stdlib `wave`, multi-frame video as a
+   concatenated PPM stream — ffmpeg image2pipe layout), synthesized
+   deterministically from document text so every decoded feature is
+   verifiable by a DuckDB oracle, and actually parsed back — including
+   an honest failure path on deliberately-corrupted payloads
+   (decode_ok=false, NULL features). Swapping in Pillow/av JPEG/Opus
+   decoders on a full cluster changes only the two map functions.
 """
 
 from __future__ import annotations
@@ -138,3 +148,177 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     payload bytes — asserted cheaply by n_bytes matching length())."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     return with_payload(docs).mapInPandas(features_map, FEATURES_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# REAL decode: valid PPM / WAV / PPM-stream payloads, actually parsed back
+# ---------------------------------------------------------------------------
+# The stub above fakes the FORMAT decode; this path does not. Payloads are
+# genuine binary files in formats decodable without external libraries —
+# P6 PPM images (netpbm), RIFF/WAVE PCM audio (stdlib `wave`), and a
+# multi-frame video as a concatenated PPM stream (the same byte layout
+# ffmpeg's image2pipe ppm demuxer consumes) — synthesized deterministically
+# from each document's text so a DuckDB oracle can verify every decoded
+# feature by independent integer arithmetic. The decode stage then parses
+# the real headers (and fails honestly on the deliberately-corrupted
+# slice: decode_ok=false, NULL features).
+
+IMG_W, IMG_H = 16, 16                      # 768 RGB bytes per image
+AUD_SR, AUD_N = 8000, 512                  # 512 x int16 mono @ 8 kHz
+VID_FRAMES, VID_W, VID_H = 4, 8, 8         # 4 frames x 192 RGB bytes
+CORRUPT_MOD, CORRUPT_REM = 37, 5           # doc_id slice with broken magic
+
+DECODE_SCHEMA = (
+    "doc_id long, modality string, decode_ok boolean, n_bytes int, "
+    "width int, height int, n_frames int, sample_rate int, n_samples int, "
+    "duration_ms double, sum_val bigint"
+)
+
+
+def _payload_codes(text: str, n: int):
+    """Cyclic byte stream driving every payload: the document's ASCII
+    codes repeated/truncated to n (np.resize cycles). '' -> ' ' so empty
+    docs still produce a decodable payload. The DuckDB oracle mirrors
+    this as ord(substr(t, (i % len) + 1, 1))."""
+    import numpy as np
+
+    arr = np.frombuffer((text or " ").encode("utf-8"), dtype=np.uint8)
+    return np.resize(arr, n)
+
+
+def _ppm_bytes(pix, w: int, h: int) -> bytes:
+    return b"P6\n%d %d\n255\n" % (w, h) + pix.tobytes()
+
+
+def encode_payloads_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: text -> real binary payload per modality."""
+    import io
+    import wave
+
+    for pdf in batches:
+        payloads = []
+        for doc_id, modality, text in zip(pdf["doc_id"], pdf["modality"], pdf["text"]):
+            if modality == "image":
+                pix = _payload_codes(text, IMG_W * IMG_H * 3)
+                payload = _ppm_bytes(pix, IMG_W, IMG_H)
+            elif modality == "audio":
+                codes = _payload_codes(text, AUD_N).astype("int16")
+                samples = (codes - 64) * 256
+                buf = io.BytesIO()
+                with wave.open(buf, "wb") as w:
+                    w.setnchannels(1)
+                    w.setsampwidth(2)
+                    w.setframerate(AUD_SR)
+                    w.writeframes(samples.astype("<i2").tobytes())
+                payload = buf.getvalue()
+            else:  # video: concatenated PPM frames (image2pipe layout)
+                pix = _payload_codes(text, VID_FRAMES * VID_W * VID_H * 3)
+                fsz = VID_W * VID_H * 3
+                payload = b"".join(
+                    _ppm_bytes(pix[f * fsz:(f + 1) * fsz], VID_W, VID_H)
+                    for f in range(VID_FRAMES)
+                )
+            if doc_id % CORRUPT_MOD == CORRUPT_REM:
+                payload = b"XX" + payload[2:]  # break the magic, keep length
+            payloads.append(payload)
+        yield pd.DataFrame(
+            {"doc_id": pdf["doc_id"], "modality": pdf["modality"],
+             "payload": payloads}
+        )
+
+
+def _parse_ppm(payload: bytes, offset: int = 0):
+    """Minimal real P6 parser: header 'P6\\n<w> <h>\\n255\\n' + w*h*3 raw
+    bytes. Returns (w, h, pixel_array, next_offset) or None."""
+    import re
+
+    import numpy as np
+
+    m = re.match(rb"P6\n(\d+) (\d+)\n255\n", payload[offset:offset + 32])
+    if not m:
+        return None
+    w, h = int(m.group(1)), int(m.group(2))
+    start = offset + m.end()
+    end = start + w * h * 3
+    if end > len(payload):
+        return None
+    return w, h, np.frombuffer(payload[start:end], dtype=np.uint8), end
+
+
+def decode_payloads_map(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """mapInPandas stage: REAL format decode. Images/video frames through
+    the P6 parser, audio through the stdlib `wave` reader; any parse
+    failure -> decode_ok=false with NULL features (never an exception —
+    poison payloads must not kill the executor task)."""
+    import io
+    import wave
+
+    import numpy as np
+
+    for pdf in batches:
+        rows = []
+        for doc_id, modality, payload in zip(
+            pdf["doc_id"], pdf["modality"], pdf["payload"]
+        ):
+            n_bytes = len(payload)
+            row = dict(doc_id=doc_id, modality=modality, decode_ok=False,
+                       n_bytes=n_bytes, width=None, height=None, n_frames=None,
+                       sample_rate=None, n_samples=None, duration_ms=None,
+                       sum_val=None)
+            try:
+                if modality == "image":
+                    p = _parse_ppm(payload)
+                    if p and p[3] == n_bytes:
+                        w, h, pix, _ = p
+                        row.update(decode_ok=True, width=w, height=h,
+                                   n_frames=1, sum_val=int(pix.sum()))
+                elif modality == "audio":
+                    with wave.open(io.BytesIO(payload), "rb") as wv:
+                        sr = wv.getframerate()
+                        nf = wv.getnframes()
+                        samples = np.frombuffer(
+                            wv.readframes(nf), dtype="<i2"
+                        )
+                    row.update(decode_ok=True, sample_rate=sr, n_samples=nf,
+                               duration_ms=float(nf) * 1000.0 / sr,
+                               sum_val=int(samples.sum()))
+                else:  # video: walk the PPM stream
+                    off, frames, total = 0, 0, 0
+                    w = h = None
+                    while off < n_bytes:
+                        p = _parse_ppm(payload, off)
+                        if not p:
+                            break
+                        w, h, pix, off = p
+                        frames += 1
+                        total += int(pix.sum())
+                    if frames and off == n_bytes:
+                        row.update(decode_ok=True, width=w, height=h,
+                                   n_frames=frames, sum_val=total)
+            except (wave.Error, EOFError, ValueError):
+                pass  # decode_ok stays False
+            rows.append(row)
+        yield pd.DataFrame(rows, columns=[
+            "doc_id", "modality", "decode_ok", "n_bytes", "width", "height",
+            "n_frames", "sample_rate", "n_samples", "duration_ms", "sum_val",
+        ])
+
+
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents -> REAL binary payloads (PPM / WAV / PPM-stream) -> real
+    format decode -> typed features. Two narrow Arrow stages, no shuffle:
+    at 100 TB the payload bytes stay inside one partition-local pass from
+    synthesis (in production: object-store fetch) through decode."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    src = docs.select(
+        "doc_id",
+        F.coalesce(F.col("text"), F.lit("")).alias("text"),
+        F.element_at(
+            F.array(F.lit("image"), F.lit("audio"), F.lit("video")),
+            (F.col("doc_id") % 3 + 1).cast("int"),
+        ).alias("modality"),
+    )
+    payloads = src.mapInPandas(
+        encode_payloads_map, "doc_id long, modality string, payload binary"
+    )
+    return payloads.mapInPandas(decode_payloads_map, DECODE_SCHEMA)

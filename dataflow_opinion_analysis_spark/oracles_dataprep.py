@@ -692,9 +692,58 @@ LEFT JOIN pooled po ON po.doc_id = p.doc_id
 LEFT JOIN sampled sa ON sa.doc_id = p.doc_id
 """
 
+# DuckDB verification of operators/multimodal.multimodal_decode: the
+# Spark side builds REAL PPM/WAV/PPM-stream binaries and parses them back
+# with real format parsers; the oracle recomputes every decoded feature by
+# independent integer arithmetic over the same cyclic char-code stream
+# (payload pixel/sample bytes are ord(substr(t, (i % len) + 1, 1)) by
+# construction). n_bytes are the exact container sizes: 13-byte P6 header
+# + 768 px = 781; stdlib wave's canonical 44-byte RIFF header + 1024 = 1068;
+# 4 x (11-byte header + 192 px) = 812. Audio samples are (code - 64) * 256.
+MULTIMODAL_DECODE_SQL = """
+WITH p AS (
+  SELECT doc_id,
+         (['image','audio','video'])[cast(doc_id % 3 + 1 AS int)] AS modality,
+         coalesce(nullif(text, ''), ' ') AS t,
+         doc_id % 37 = 5 AS corrupted
+  FROM documents
+),
+n AS (
+  SELECT doc_id, modality, t, corrupted, length(t) AS len,
+         CASE WHEN modality = 'audio' THEN 512 ELSE 768 END AS npix
+  FROM p
+),
+codes AS (
+  SELECT doc_id, ord(substr(t, cast(u.i % len AS int) + 1, 1)) AS code
+  FROM n, unnest(generate_series(0, npix - 1)) AS u(i)
+),
+sums AS (SELECT doc_id, sum(code) AS s FROM codes GROUP BY doc_id)
+SELECT n.doc_id, n.modality,
+  NOT n.corrupted AS decode_ok,
+  cast(CASE n.modality WHEN 'image' THEN 781 WHEN 'audio' THEN 1068
+       ELSE 812 END AS int) AS n_bytes,
+  cast(CASE WHEN n.corrupted THEN NULL WHEN n.modality = 'image' THEN 16
+       WHEN n.modality = 'video' THEN 8 END AS int) AS width,
+  cast(CASE WHEN n.corrupted THEN NULL WHEN n.modality = 'image' THEN 16
+       WHEN n.modality = 'video' THEN 8 END AS int) AS height,
+  cast(CASE WHEN n.corrupted THEN NULL WHEN n.modality = 'image' THEN 1
+       WHEN n.modality = 'video' THEN 4 END AS int) AS n_frames,
+  cast(CASE WHEN NOT n.corrupted AND n.modality = 'audio' THEN 8000
+       END AS int) AS sample_rate,
+  cast(CASE WHEN NOT n.corrupted AND n.modality = 'audio' THEN 512
+       END AS int) AS n_samples,
+  cast(CASE WHEN NOT n.corrupted AND n.modality = 'audio'
+       THEN cast(512 AS double) * 1000 / 8000 END AS double) AS duration_ms,
+  cast(CASE WHEN n.corrupted THEN NULL
+       WHEN n.modality = 'audio' THEN (s.s - 512 * 64) * 256
+       ELSE s.s END AS bigint) AS sum_val
+FROM n JOIN sums s ON s.doc_id = n.doc_id
+"""
+
 DATAPREP_ORACLES: dict[str, str] = {
     "dataprep_pipeline": DATAPREP_PIPELINE_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
+    "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
     "sample_stratified": SAMPLE_STRATIFIED_SQL,
     "pii_scrub": PII_SCRUB_SQL,

@@ -36,6 +36,7 @@ turns (behind the watermark) are counted in ``metrics`` instead of sunk.
 from __future__ import annotations
 
 import concurrent.futures as _futures
+import json
 import os
 import uuid as _uuid
 from dataclasses import dataclass
@@ -164,6 +165,23 @@ def process_batch(
     the stream==batch equivalence tests stay enrichment-free unless both
     sides opt in)."""
     spark = assembled.sparkSession
+    # phase profiling (SPARK_GRAFT_BATCH_PROFILE=1): wall per driver-side
+    # phase, printed as one JSON line per batch — the tool that localizes
+    # per-micro-batch serial residue (scripts/profile_stream_residue.py)
+    import time as _time
+
+    _prof_on = os.environ.get("SPARK_GRAFT_BATCH_PROFILE") == "1"
+    _prof: dict[str, float] = {}
+    _t_start = _time.perf_counter()
+    _t_last = _t_start
+
+    def _mark(phase: str) -> None:
+        nonlocal _t_last
+        if _prof_on:
+            now = _time.perf_counter()
+            _prof[phase] = round(now - _t_last, 3)
+            _t_last = now
+
     # every persist is recorded here and released at the end of the batch
     # regardless of which flag branches were taken — rebinding a name to a
     # derived frame must never orphan a persisted parent across
@@ -177,6 +195,7 @@ def process_batch(
         F.sum(F.when(F.col("status") == "overflow", 1).otherwise(0)).alias("n_overflow"),
         F.max("ts").alias("max_ts"),
     ).collect()[0]
+    _mark("stats_agg")
     n_input = stats.n_input or 0
     n_late = stats.n_late or 0
     n_overflow = stats.n_overflow or 0
@@ -196,6 +215,10 @@ def process_batch(
     #    This repoints in-batch dupes of already-claimed content to the
     #    original winner, matching the batch-global oracle.
     inbatch_winners, _ = dedupe.exact_dedupe(to_index)
+    # assume_unique: exact_dedupe winners are row_number()==1 per
+    # content_hash — one row per key by construction. The anti-join stays:
+    # it IS the first-claim semantics (a later batch's claim on an
+    # already-claimed hash must lose).
     sinks.content_index.merge(
         inbatch_winners.select(
             "content_hash",
@@ -203,7 +226,9 @@ def process_batch(
             "pub_date_id",
         ),
         batch_id,
+        assume_unique=True,
     )
+    _mark("content_index_merge")
     # The content index grows monotonically (one row per distinct content
     # hash ever ingested) — broadcasting it per micro-batch would grow
     # driver memory without bound. Instead semi-join the index down to
@@ -255,6 +280,7 @@ def process_batch(
             ).filter(F.col("is_dupe")).select(
                 F.col("document_hash"), "is_dupe", "winner_document_hash"
             )
+            _mark("fingerprint_dedupe")
         else:
             verdict_input = winners.select(
                 "expected_document_hash", "conv_id", "turn_idx", "title",
@@ -301,19 +327,45 @@ def process_batch(
     # racing an unmaterialized cache each recompute the NLP chain for
     # partitions not yet stored
     soft_winners.count()
+    _mark("winners_materialize")
 
     # the three sink merges are independent (different tables, different
     # manifest chains) — run them as concurrent Spark jobs so a micro-batch
     # pays max(merge walls), not their sum. Threads are the idiomatic way
     # to submit concurrent jobs from one driver; each merge's commit is
     # still atomic per table.
+    #
+    # assume_new: each fact-table merge is ONE narrow write job — no
+    # in-batch dropDuplicates shuffle, no bounds job, no anti-join scan
+    # of the (growing) table. Soundness chain, per sink:
+    #   in-batch uniqueness — document/sentiment fan out from winners,
+    #     which are row-unique per content_hash (exact_dedupe window) and
+    #     hence per DocumentHash; webresource keys are per-turn, and the
+    #     thread assembler's redelivery fence makes emitted turn versions
+    #     unique (streaming/threads.py);
+    #   cross-batch newness — a turn version is emitted in exactly one
+    #     micro-batch (assembler fence), and re-posted content is routed
+    #     to the dupe branches by the content-index first-claim mapping,
+    #     so winner DocumentHashes are disjoint across batches;
+    #   replay — the batch-id fence short-circuits committed tables, and
+    #     an uncommitted table's replayed batch recomputes the identical
+    #     rows (state-store replay + replay-fenced fingerprint reads).
+    # tests/test_streaming.py::test_assume_new_matches_full_merge pins the
+    # resulting tables equal to the full-merge path; merge() itself still
+    # raises pre-commit on a gross uniqueness violation (Observation
+    # guard). This is the O(batch)-not-O(table) requirement: at 10^12
+    # turns the sinks cannot re-scan their history every commit.
     with _futures.ThreadPoolExecutor(max_workers=3) as pool:
-        f_docs = pool.submit(sinks.document.merge, document, batch_id)
-        f_sents = pool.submit(sinks.sentiment.merge, sentiment, batch_id)
-        f_wr = pool.submit(sinks.webresource.merge, wr, batch_id)
+        f_docs = pool.submit(
+            sinks.document.merge, document, batch_id, assume_new=True)
+        f_sents = pool.submit(
+            sinks.sentiment.merge, sentiment, batch_id, assume_new=True)
+        f_wr = pool.submit(
+            sinks.webresource.merge, wr, batch_id, assume_new=True)
         n_docs = f_docs.result()
         n_sents = f_sents.result()
         f_wr.result()
+    _mark("sink_merges")
 
     max_ts = stats.max_ts
     # dupe counts are diagnostics only; -1 when skipped (recomputing them
@@ -329,6 +381,10 @@ def process_batch(
 
     for df in persisted:
         df.unpersist()
+    if _prof_on:
+        _prof["total"] = round(_time.perf_counter() - _t_start, 3)
+        print(json.dumps({"profile_batch": int(batch_id),
+                          "n_input": int(n_input), **_prof}), flush=True)
     return {"batch_id": batch_id, "n_input": n_input, "n_late": n_late,
             "n_documents": n_docs, "n_sentiments": n_sents,
             "n_failed": n_failed}

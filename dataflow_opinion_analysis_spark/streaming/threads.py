@@ -95,6 +95,22 @@ def assemble_threads_fn(
     late_rows: list[tuple] = []
 
     if not state.hasTimedOut:
+        # redelivery fence: a turn VERSION is identified by (turn_idx, ts).
+        # An at-least-once source may deliver the same version twice — in
+        # one batch, across batches while the original is still pending,
+        # or after the original was emitted. The first two are caught by
+        # the pending-key set; the last by the seen map (seen[turn_idx]
+        # records the newest ts ever observed for the turn, so an exact
+        # re-arrival matches it — and an emitted turn's ts is always in
+        # seen, since emission requires having observed it). Deduping HERE
+        # — per conversation, in the already-grouped state stage, zero
+        # extra shuffle — is what lets the sink merges run with
+        # assume_unique/assume_new (tables/mergetable.py) instead of
+        # re-deduplicating three wide fan-out frames per micro-batch.
+        # (A redelivery after emission is *usually* behind the watermark
+        # and routed 'late' anyway; the seen check also closes the ts ==
+        # watermark edge where it would have been emitted twice.)
+        pkeys = {(r[0], r[4]) for r in pending}
         for pdf in pdfs:
             if not len(pdf):
                 continue
@@ -108,6 +124,9 @@ def assemble_threads_fn(
             newmax: dict[int, int] = {}
             for i in range(len(idx)):
                 ti, t = int(idx[i]), ts_us[i]
+                if (ti, t) in pkeys or seen.get(ti) == t:
+                    continue  # duplicate delivery of a known version
+                pkeys.add((ti, t))
                 if newmax.get(ti, -1) < t:
                     newmax[ti] = t
                 row = (ti, role[i], text[i], tool[i], t)

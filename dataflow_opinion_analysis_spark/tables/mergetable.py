@@ -351,23 +351,68 @@ class MergeTable:
         )
 
     # -- MERGE ----------------------------------------------------------------
-    def merge(self, batch: DataFrame, batch_id: int) -> int:
+    def merge(
+        self,
+        batch: DataFrame,
+        batch_id: int,
+        assume_unique: bool = False,
+        assume_new: bool = False,
+    ) -> int:
         """Insert rows of `batch` whose key is absent. Returns rows written.
-        Idempotent: replaying a committed batch_id is a no-op."""
+        Idempotent: replaying a committed batch_id is a no-op.
+
+        ``assume_unique``: the caller asserts the batch is already
+        key-unique — skips the in-batch ``dropDuplicates`` (a full wide
+        shuffle of the batch). Sound when the frame is one row per key by
+        construction (e.g. the streaming winners are row_number()==1 per
+        content_hash, and the thread assembler fences redelivered turn
+        versions — streaming/threads.py).
+
+        ``assume_new`` (implies ``assume_unique``): the caller asserts
+        every key is absent from the table — additionally skips the
+        bounds aggregation AND the anti-join scan of existing files, so
+        the merge is ONE narrow write job. Sound for the streaming
+        document/sentiment/webresource sinks, whose cross-batch key
+        disjointness is guaranteed upstream (content-index first-claim
+        routing + the assembler's redelivery fence) and whose replay
+        safety comes from the batch-id fence plus deterministic batch
+        recomputation. NOT sound for first-claim stores like the content
+        index, where the anti-join itself implements insert-if-absent.
+        At 100-TB scale this is the difference between O(batch) and
+        O(table) work per micro-batch: a sink that re-scans its whole
+        history every commit cannot stream.
+
+        A cheap runtime guard still runs under ``assume_unique``/
+        ``assume_new``: the write job observes approx_count_distinct of
+        the first key column beside the row count, and a gross violation
+        (>~10% duplicate keys, beyond the HLL sketch's error band) raises
+        BEFORE the manifest commit — the batch directory is left orphaned
+        for vacuum(), the table state is untouched.
+        """
         snap = self.current_snapshot()
         if _ranges_contains(snap["batch_ranges"], int(batch_id)):
             return 0
+        assume_unique = assume_unique or assume_new
 
         # in-batch key dedupe (deterministic smallest-first keeps goldens
         # stable). Persisted: the incoming frame is typically a lazy Arrow
         # fan-out chain, and without the persist both the bounds agg below
-        # and the anti-join+write would re-run that whole chain.
-        deduped = batch.dropDuplicates(self.key_cols).persist()
+        # and the anti-join+write would re-run that whole chain. Under
+        # assume_new neither extra consumer exists, so the frame flows
+        # straight into the single write job un-persisted.
+        deduped = batch if assume_unique else batch.dropDuplicates(self.key_cols)
+        persist_needed = not assume_new
+        if persist_needed:
+            deduped = deduped.persist()
         try:
             # partition-stat bounds of the incoming batch (for file pruning);
             # pointless when the table has no files yet
             min_part = max_part = None
-            if self.partition_col is not None and snap["files"]:
+            if (
+                self.partition_col is not None
+                and snap["files"]
+                and not assume_new
+            ):
                 b = deduped.agg(
                     F.min(self.partition_col).alias("lo"),
                     F.max(self.partition_col).alias("hi"),
@@ -375,12 +420,13 @@ class MergeTable:
                 min_part, max_part = b["lo"], b["hi"]
 
             w = deduped
-            existing_files = self.files(min_part, max_part)
-            if existing_files:
-                existing_keys = self.spark.read.parquet(*existing_files).select(
-                    self.key_cols
-                )
-                w = w.join(existing_keys, self.key_cols, "left_anti")
+            if not assume_new:
+                existing_files = self.files(min_part, max_part)
+                if existing_files:
+                    existing_keys = self.spark.read.parquet(*existing_files).select(
+                        self.key_cols
+                    )
+                    w = w.join(existing_keys, self.key_cols, "left_anti")
 
             # row count + partition stats of what actually lands are
             # observed DURING the write job (pyspark Observation) — no
@@ -392,6 +438,10 @@ class MergeTable:
                     F.min(self.partition_col).alias("lo"),
                     F.max(self.partition_col).alias("hi"),
                 ]
+            if assume_unique:
+                obs_aggs.append(
+                    F.approx_count_distinct(self.key_cols[0]).alias("n_keys")
+                )
             obs = Observation()
             w = w.observe(obs, *obs_aggs)
 
@@ -400,8 +450,22 @@ class MergeTable:
             )
             w.write.mode("overwrite").parquet(out_file)
             wrow = obs.get
+            # gross-violation guard only: approx_count_distinct is an HLL
+            # sketch (default rsd 5%, and small-n estimates can be off by
+            # a count or two) — the threshold must sit well below the
+            # sketch's error band. Real violations (systematic duplication)
+            # halve n_keys; exact guarantees come from the caller contract
+            # and the pipeline's equivalence tests, not this tripwire.
+            if assume_unique and wrow["n"]:
+                if wrow["n_keys"] < 0.9 * wrow["n"] - 4:
+                    raise ValueError(
+                        f"assume_unique violated on {self.path}: wrote "
+                        f"{wrow['n']} rows but only ~{wrow['n_keys']} distinct "
+                        f"{self.key_cols[0]} values; batch NOT committed"
+                    )
         finally:
-            deduped.unpersist()
+            if persist_needed:
+                deduped.unpersist()
 
         n = wrow["n"]
         if n == 0:

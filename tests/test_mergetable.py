@@ -268,3 +268,40 @@ def test_first_commit_noop_then_narrow_data(spark, tmp_path):
                                   "conv_id string, v string, date_id int"), 1)
     assert t.read().columns == ["conv_id", "v", "date_id"]
     assert t.read().count() == 1
+
+
+def test_assume_new_single_job_contract(spark, tmp_path):
+    """assume_new skips the existing-key anti-join (caller asserts
+    cross-batch key disjointness): batch-id replay is still fenced, a
+    key-unique new batch lands, and — the contract being the CALLER's —
+    a violating batch WOULD insert its rows (no silent second dedupe
+    layer to hide a broken upstream guarantee)."""
+    t = _mk(spark, tmp_path)
+    assert t.merge(_df(spark, [("c1", 0, "a", 20240101)]), 0, assume_new=True) == 1
+    # replay fence still applies
+    assert t.merge(_df(spark, [("c1", 0, "DUP", 20240101)]), 0, assume_new=True) == 0
+    # disjoint new batch: one write job, no table scan
+    assert t.merge(_df(spark, [("c2", 0, "b", 20240102)]), 1, assume_new=True) == 1
+    assert t.read().count() == 2
+    # a caller violating the contract is NOT silently repaired
+    assert t.merge(_df(spark, [("c1", 0, "VIOLATION", 20240101)]), 2,
+                   assume_new=True) == 1
+    assert t.read().count() == 3
+
+
+def test_assume_unique_guard_raises_before_commit(spark, tmp_path):
+    """A grossly key-duplicated batch under assume_unique must raise
+    BEFORE the manifest commit: the table keeps its prior state and the
+    batch id stays uncommitted (retryable after the caller fixes it)."""
+    import pytest
+
+    t = _mk(spark, tmp_path)
+    t.merge(_df(spark, [("c1", 0, "a", 20240101)]), 0)
+    dup_rows = [("cX", 0, f"v{i}", 20240102) for i in range(200)]
+    with pytest.raises(ValueError, match="assume_unique violated"):
+        t.merge(_df(spark, dup_rows), 1, assume_new=True)
+    assert t.read().count() == 1
+    assert not t.contains_batch(1)
+    # the same batch, properly deduped upstream, then commits fine
+    assert t.merge(_df(spark, dup_rows).dropDuplicates(["conv_id", "turn_idx"]),
+                   1, assume_new=True) == 1

@@ -281,3 +281,61 @@ def test_multimodal_features_internal_consistency(spark):
         assert sum(int(x) for x in r.pooled_str.split(",")) == int(arr.sum())
         want = hashlib.sha256(bytes(arr[::multimodal.FRAME_STRIDE])).hexdigest()
         assert r.sampled_sha == want
+
+
+def test_multimodal_decode_real_formats(spark):
+    """The decode tier is REAL: payloads must parse with independent
+    readers (stdlib wave for WAV; a from-scratch P6 header parse here),
+    decoded features must match, and corrupted payloads must fail
+    honestly (decode_ok=false, NULL features) without killing the task."""
+    import io
+    import re
+    import wave as wave_mod
+
+    import numpy as np
+
+    from dataflow_opinion_analysis_spark.operators import multimodal as mm
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    src = docs.selectExpr(
+        "doc_id",
+        "coalesce(text, '') AS text",
+        "element_at(array('image','audio','video'), cast(doc_id % 3 + 1 AS int)) AS modality",
+    )
+    payloads = {
+        r.doc_id: (r.modality, bytes(r.payload))
+        for r in src.mapInPandas(
+            mm.encode_payloads_map, "doc_id long, modality string, payload binary"
+        ).collect()
+    }
+    decoded = {r.doc_id: r for r in mm.multimodal_decode(spark, SF_DIR).collect()}
+    assert set(decoded) == set(payloads)
+
+    n_checked = {"image": 0, "audio": 0, "video": 0, "corrupt": 0}
+    for doc_id, (modality, payload) in payloads.items():
+        d = decoded[doc_id]
+        assert d.n_bytes == len(payload)
+        if doc_id % mm.CORRUPT_MOD == mm.CORRUPT_REM:
+            assert d.decode_ok is False and d.sum_val is None
+            n_checked["corrupt"] += 1
+            continue
+        assert d.decode_ok is True
+        if modality == "audio":
+            # independent reader: the stdlib wave module must accept it
+            with wave_mod.open(io.BytesIO(payload), "rb") as w:
+                assert w.getnchannels() == 1 and w.getsampwidth() == 2
+                assert w.getframerate() == d.sample_rate == mm.AUD_SR
+                assert w.getnframes() == d.n_samples == mm.AUD_N
+                samples = np.frombuffer(w.readframes(w.getnframes()), "<i2")
+            assert int(samples.sum()) == d.sum_val
+        else:
+            # independent P6 parse: header regex + exact payload length
+            m = re.match(rb"P6\n(\d+) (\d+)\n255\n", payload)
+            assert m, "payload is not a valid P6 PPM stream"
+            w, h = int(m.group(1)), int(m.group(2))
+            assert (w, h) == (d.width, d.height)
+            frame_len = m.end() + w * h * 3
+            assert len(payload) == frame_len * (d.n_frames or 0)
+        n_checked[modality if d.decode_ok else "corrupt"] += 1
+    assert all(v > 0 for v in n_checked.values()), n_checked

@@ -463,3 +463,36 @@ def test_rocksdb_state_store(spark, tmp_path):
         spark.conf.unset(
             "spark.sql.streaming.stateStore.rocksdb.changelogCheckpointing.enabled"
         )
+
+
+def test_redelivered_turns_emitted_once(spark, tmp_path):
+    """At-least-once sources redeliver: the SAME turn versions arriving
+    again in later files must not re-enter the sinks. This is the
+    assembler-level redelivery fence (streaming/threads.py) that the
+    assume_new sink merges rely on — with it, the sink tables equal the
+    single-delivery run exactly (including WebResourceHash uniqueness,
+    the one key a duplicated turn version would collide)."""
+    path = _gen(tmp_path, n_convs=12, n_files=2)
+    # full redelivery: copy both data files back into the stream dir
+    import shutil as _sh
+    data_files = sorted(
+        f for f in __import__("os").listdir(path) if f.endswith(".parquet")
+    )
+    for i, f in enumerate(data_files):
+        _sh.copyfile(f"{path}/{f}", f"{path}/redelivered-{i}.parquet")
+    _append_flush(spark, path)
+    sinks = _run_stream(spark, path, tmp_path / "out", tmp_path / "ckpt",
+                        soft=False)
+
+    # reference: the same corpus delivered once
+    path1 = _gen(tmp_path / "single", n_convs=12, n_files=2)
+    _append_flush(spark, path1)
+    sinks1 = _run_stream(spark, path1, tmp_path / "out1", tmp_path / "ckpt1",
+                         soft=False)
+
+    for name in ("webresource", "document", "sentiment"):
+        a = getattr(sinks, name).read()
+        b = getattr(sinks1, name).read()
+        assert a.count() == b.count(), name
+    wr = sinks.webresource.read()
+    assert wr.count() == wr.select("WebResourceHash").distinct().count()
