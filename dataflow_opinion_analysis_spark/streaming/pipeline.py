@@ -187,6 +187,10 @@ def process_batch(
     # derived frame must never orphan a persisted parent across
     # micro-batches (executor storage would grow until ContextCleaner GC)
     persisted: list[DataFrame] = []
+    # persist, NOT localCheckpoint: A/B-measured — checkpointing the wide
+    # assembled frame converts it to a row-based LogicalRDD and every
+    # downstream consumer loses the columnar cache scan (+55% batch wall);
+    # the columnar persist is materialized by the stats agg below.
     assembled = assembled.persist()
     persisted.append(assembled)
     stats = assembled.agg(
@@ -312,6 +316,16 @@ def process_batch(
         ).persist()
         persisted.append(soft_winners)
 
+    # materialize the winners cache ONCE before deriving the sink frames:
+    # all three are Arrow fan-outs over it, and concurrent merge jobs
+    # racing an unmaterialized cache each recompute the NLP chain for
+    # partitions not yet stored. (localCheckpoint instead of persist+count
+    # was A/B'd here and REJECTED: it converts the wide frame to a
+    # row-based LogicalRDD and the fan-out consumers lose the columnar
+    # cache scan — slower despite the truncated logical plan.)
+    soft_winners.count()
+    _mark("winners_materialize")
+
     document = fanout.document_rows(soft_winners, extra_cols=["content_hash"])
     # fused Arrow fan-out: passage rows carry the doc key fields — the
     # sentiment branch is join-free and soft-dupes are never scored
@@ -321,13 +335,6 @@ def process_batch(
     wr = wr.unionByName(fanout.webresource_rows(skipped))
     if soft_dupes is not None:
         wr = wr.unionByName(fanout.webresource_rows(soft_dupes, "winner_document_hash"))
-
-    # materialize the winners cache ONCE before the concurrent merges: all
-    # three sink frames are Arrow fan-outs over it, and concurrent jobs
-    # racing an unmaterialized cache each recompute the NLP chain for
-    # partitions not yet stored
-    soft_winners.count()
-    _mark("winners_materialize")
 
     # the three sink merges are independent (different tables, different
     # manifest chains) — run them as concurrent Spark jobs so a micro-batch

@@ -105,8 +105,8 @@ def main() -> int:
     print(f"sum(triggerExecution)={trig_total:.1f}s  "
           f"harness idle={result['wall'] - trig_total:.1f}s")
     print("-- process_batch phases --")
-    keys = ["stats_agg", "content_index_merge", "winners_materialize",
-            "sink_merges", "total"]
+    keys = ["stats_agg", "content_index_merge",
+            "winners_materialize", "sink_merges", "total"]
     for d in profile_lines:
         print(f"batch {d['profile_batch']}: n={d['n_input']} " +
               " ".join(f"{k}={d.get(k, 0):.2f}s" for k in keys))
