@@ -535,6 +535,23 @@ def write_md(result: dict) -> None:
         "come from cutting that serial residue and re-measuring under",
         "the SAME frozen flags, recorded here win-or-lose.",
         "",
+        "**Round-5 new-code measurement (pre-declared before launch,",
+        "frozen flags, recorded win-or-lose).** The serial residue named",
+        "above was then actually cut (commit b0143d3): a per-phase",
+        "profiler (scripts/profile_stream_residue.py) localized it to",
+        "the sink merges — every micro-batch paid a wide dropDuplicates",
+        "shuffle, a bounds job, and an anti-join scan of the GROWING",
+        "table per sink — and the assembler redelivery fence +",
+        "merge(assume_new) made each fact-table merge one narrow write",
+        "job (local[32] stream bench: 64.5s -> 35.3s, steady 7.1k ->",
+        "16.8k turns/s). One stream 2->8 invocation on this code,",
+        "trigger 32 files (the throughput configuration bench.py uses;",
+        "informal quiet-window profiles measured eff ~0.65 -> ~0.74 at",
+        "trigger 16 -> 32), is the round-5 standing measurement — the",
+        "result at the top of this file IS that run. The failed 0.649",
+        "confirmation of the OLD code above remains recorded and is not",
+        "superseded retroactively: it measured the code it measured.",
+        "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
         "",
