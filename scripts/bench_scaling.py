@@ -551,6 +551,18 @@ def write_md(result: dict) -> None:
         "result at the top of this file IS that run. The failed 0.649",
         "confirmation of the OLD code above remains recorded and is not",
         "superseded retroactively: it measured the code it measured.",
+        "Outcome (2026-08-18T11:04Z): pairs 0.751 (CLEAN, drift 0.12,",
+        "asymmetry 0.002) / 0.833 (CLEAN, drift 0.025) / 0.852 (noisy —",
+        "side asymmetry 13.7%, the 8-side landed on a faster host phase,",
+        "so its higher number is rightly excluded). Clean-pair median",
+        "**0.792 — NOT MET by 0.008**, recorded as such. What the run",
+        "does establish: absolute steady throughput rose 33% at 2 cores",
+        "(1840 -> 2440 tps) and 61% at 8 cores (4776 -> 7714 tps) over",
+        "the failed confirmation, every pair (clean or not) sits at",
+        "0.75-0.85 where the old code measured 0.649-0.803 with only one",
+        "pair clean, and the clean-pair median moved 0.649 -> 0.792",
+        "under the identical frozen protocol. No further round-5",
+        "attempts: one pre-declared run, one result, no retry-until-win.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
