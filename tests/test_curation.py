@@ -41,6 +41,14 @@ def test_decontaminate_plan_broadcasts_eval(spark):
         "the eval n-gram index must broadcast — the corpus side never "
         "shuffles for the probe\n" + plan[:3000]
     )
+    # ONE corpus explode + ONE eval explode: a second reference to the
+    # corpus-shingle CTE (or to agg) would inline and tokenize the corpus
+    # twice (the round-4 sigs-CTE plan smell). GROUPING SETS + the struct
+    # -max top-eval fold keep it to one pass per relation.
+    import re
+
+    n_generates = len(re.findall(r"\(\d+\) Generate", plan))
+    assert n_generates == 2, f"expected 2 Generate nodes, got {n_generates}\n{plan[:2000]}"
     assert_clean(df, "decontaminate")
 
 
