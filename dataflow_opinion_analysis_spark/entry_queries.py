@@ -361,6 +361,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "quality_repetition": curation.quality_repetition,
         "shard_for_training": curation.shard_for_training,
         "cap_per_source": curation.cap_per_source,
+        "sample_mixture": curation.sample_mixture,
     }
     for name, fn in curation_fns.items():
         reg[name] = (fn, oracles_curation.CURATION_ORACLES.get(name))

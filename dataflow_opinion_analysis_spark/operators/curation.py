@@ -94,6 +94,12 @@ REP_DUP4_MAX = 0.10
 N_SHARDS = 16
 CAP_PER_SOURCE_K = 15
 
+# --- temperature mixture sampling ------------------------------------
+# target picks across the corpus; per-source weight w_s = floor(sqrt(n_s))
+# (temperature alpha = 0.5 — the sqrt rule multilingual/source-balancing
+# recipes use to upsample small sources relative to their share)
+MIX_TARGET = 300
+
 
 def _hash_u(expr: str) -> str:
     """First 8 hex digits of sha256 as a uniform bigint (the repo's
@@ -328,3 +334,39 @@ def cap_per_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         k=CAP_PER_SOURCE_K, salt_src="doc_id",
     )
     return out.select("doc_id", "source", "rk")
+
+
+def sample_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-balanced mixture sampling: re-weight sources by
+    w_s = floor(sqrt(n_s)) (alpha = 0.5 temperature) and keep each
+    document independently with rate min(1, MIX_TARGET * w_s /
+    (sum_w * n_s)) — small sources keep a larger fraction than their
+    corpus share, the balancing step pretraining mixtures apply before
+    packing. Deterministic and INTEGER-EXACT across engines: the keep
+    test is hash_u * (sum_w * n_s) < MIX_TARGET * w_s * 2^32, all-bigint
+    arithmetic (no FP rate whose summation order could diverge between
+    Spark and DuckDB).
+
+    Scale shape: one map-side-combinable count per source (the source
+    dimension is tiny), the rate relation broadcasts back onto the
+    corpus, and the keep test is a codegen filter — the corpus itself
+    never shuffles."""
+    _docs(spark, sf_dir)
+    return spark.sql(sample_mixture_sql_spark())
+
+
+def sample_mixture_sql_spark(rel: str = "documents") -> str:
+    h = _hash_u("concat(cast(doc_id AS string), '|mix')")
+    return f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s,
+         cast(floor(sqrt(cast(count(*) AS double))) AS bigint) AS w_s
+  FROM {rel} GROUP BY source
+),
+rates AS (
+  SELECT source, n_s, w_s, sum(w_s) OVER () AS sum_w FROM counts
+)
+SELECT /*+ BROADCAST(r) */ d.doc_id, d.source, r.n_s AS n_source, r.w_s
+FROM {rel} d JOIN rates r ON r.source = d.source
+WHERE {h} * (r.sum_w * r.n_s) < {MIX_TARGET} * r.w_s * 4294967296
+"""

@@ -156,3 +156,20 @@ CURATION_ORACLES: dict[str, str] = {
     "shard_for_training": SHARD_FOR_TRAINING_SQL,
     "cap_per_source": CAP_PER_SOURCE_SQL,
 }
+
+SAMPLE_MIXTURE_SQL = f"""
+WITH counts AS (
+  SELECT source, count(*) AS n_s,
+         cast(floor(sqrt(cast(count(*) AS double))) AS bigint) AS w_s
+  FROM documents GROUP BY source
+),
+rates AS (
+  SELECT source, n_s, w_s, sum(w_s) OVER () AS sum_w FROM counts
+)
+SELECT d.doc_id, d.source, r.n_s AS n_source, r.w_s
+FROM documents d JOIN rates r ON r.source = d.source
+WHERE {_duck_hash_u("cast(doc_id AS varchar) || '|mix'")} * (r.sum_w * r.n_s)
+      < {c.MIX_TARGET} * r.w_s * 4294967296
+"""
+
+CURATION_ORACLES["sample_mixture"] = SAMPLE_MIXTURE_SQL

@@ -144,3 +144,27 @@ def test_curation_plans_clean(spark):
     assert_clean(spark.sql(curation.quality_repetition_sql_spark()), "quality_repetition")
     assert_clean(spark.sql(curation.shard_sql_spark()), "shard_for_training")
     assert_clean(curation.cap_per_source(spark, SF_DIR), "cap_per_source")
+
+
+def test_sample_mixture_balances_sources(spark):
+    """Temperature (alpha=0.5) mixture sampling: small sources keep a
+    LARGER fraction of their docs than big sources, totals land near
+    MIX_TARGET, and the keep test is integer-exact deterministic."""
+    import pandas as pd
+
+    out = curation.sample_mixture(spark, SF_DIR).toPandas()
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").toPandas()
+    n_by_src = docs.groupby("source").size()
+    kept_by_src = out.groupby("source").size().reindex(n_by_src.index).fillna(0)
+    frac = (kept_by_src / n_by_src).sort_index()
+    # keep rate per source must be non-increasing in source size
+    # (w_s/n_s = floor(sqrt(n))/n decreases in n); compare extremes
+    big, small = n_by_src.idxmax(), n_by_src.idxmin()
+    if n_by_src[big] > n_by_src[small]:
+        assert frac[small] >= frac[big], (n_by_src.to_dict(), frac.to_dict())
+    # sampling, not selection-of-everything / nothing
+    assert 0 < len(out) < len(docs)
+    # deterministic: a second run returns the identical doc set
+    out2 = curation.sample_mixture(spark, SF_DIR).toPandas()
+    assert sorted(out.doc_id) == sorted(out2.doc_id)
+    assert_clean(curation.sample_mixture(spark, SF_DIR), "sample_mixture")
