@@ -24,6 +24,9 @@ Subcommands:
   dataprep   composed training-data prep: quality/lang filter -> exact +
              MinHash dedup -> PII scrub -> sequence packing
              (--shards-out adds a final deterministic shard write)
+  dataprep-refresh  incremental dataprep: ingest a wave, prep ONLY the
+             delta against durable dedup stores, append to the packed
+             table (cursor-tracked; incremental == full, gated)
   datagen    deterministic synthetic transcripts generator
 """
 
@@ -224,6 +227,28 @@ def cmd_compact_fingerprints(args) -> int:
     return 0
 
 
+def cmd_dataprep_refresh(args) -> int:
+    """Incremental training-data prep: optionally ingest a new wave of
+    documents into the store, then run the prep chain over exactly the
+    docs committed since the last refresh (operators/
+    dataprep_incremental.IncrementalDataPrep). Prints one JSON line with
+    the wave's row accounting and the advanced cursor."""
+    import json
+
+    from dataflow_opinion_analysis_spark.operators.dataprep_incremental import (
+        IncrementalDataPrep,
+    )
+
+    spark = _spark(args)
+    prep = IncrementalDataPrep(spark, args.store)
+    if args.ingest:
+        prep.ingest(spark.read.parquet(args.ingest), wave_id=args.wave)
+    out = prep.refresh(wave_id=args.wave)
+    print(json.dumps({"store": args.store, **out}))
+    spark.stop()
+    return 0
+
+
 def cmd_dataprep(args) -> int:
     """The composed training-data prep pipeline: quality/lang filter ->
     exact dedup -> MinHash near-dedup -> PII scrub -> sequence packing
@@ -386,6 +411,17 @@ def main(argv: list[str] | None = None) -> int:
              ">= DECON_MIN_SHARED word-n-grams with any eval doc",
     )
     p.set_defaults(fn=cmd_dataprep)
+
+    p = sub.add_parser("dataprep-refresh")
+    p.add_argument("--store", required=True,
+                   help="incremental dataprep store root (docs/norm_hashes/"
+                        "bands/packed MergeTables + cursor)")
+    p.add_argument("--ingest", default=None,
+                   help="optional documents-shaped parquet to ingest as a "
+                        "new wave before refreshing")
+    p.add_argument("--wave", type=int, required=True,
+                   help="wave id (MergeTable batch id — replays are fenced)")
+    p.set_defaults(fn=cmd_dataprep_refresh)
 
     p = sub.add_parser("datagen")
     p.add_argument("--output", required=True)

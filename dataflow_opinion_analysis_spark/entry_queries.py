@@ -363,6 +363,15 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "cap_per_source": curation.cap_per_source,
         "sample_mixture": curation.sample_mixture,
     }
+    # incremental dataprep: two-wave ingest+refresh loop, compared against
+    # the SAME full-corpus oracle chain as the one-shot pipeline — the
+    # gate IS the incremental == full equivalence proof
+    from dataflow_opinion_analysis_spark.operators import dataprep_incremental
+
+    reg["dataprep_incremental"] = (
+        dataprep_incremental.dataprep_incremental,
+        oracles_dataprep.DATAPREP_ORACLES["dataprep_pipeline"],
+    )
     for name, fn in curation_fns.items():
         reg[name] = (fn, oracles_curation.CURATION_ORACLES.get(name))
 

@@ -151,11 +151,11 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(dedup_minhash_sql_spark())
 
 
-def dedup_minhash_sql_spark(rel: str = "documents") -> str:
-    """MinHash+LSH near-dup-pairs SQL over relation ``rel`` (parameterized
-    for the composed dataprep pipeline)."""
-    # K permutation mins as one aggregate; band key format matches the
-    # DuckDB mirror exactly: sorted "{i}:{mh}" pairs joined by '_'
+def _minhash_parts() -> tuple[str, str]:
+    """(mins, band_structs) SQL fragments shared by the pair query and the
+    long-form band relation. K permutation mins as one aggregate; band key
+    format matches the DuckDB mirror exactly: sorted "{i}:{mh}" pairs
+    joined by '_'."""
     mins = ",\n         ".join(
         f"min((h * {2 * i + 1} + {i * i + 7}) % {MINHASH_P}) AS mh{i}"
         for i in range(MINHASH_K)
@@ -166,6 +166,37 @@ def dedup_minhash_sql_spark(rel: str = "documents") -> str:
         "concat('{i1}:', cast(mh{i1} AS string))))))".format(b=b, i0=2 * b, i1=2 * b + 1)
         for b in range(LSH_BANDS)
     )
+    return mins, band_structs
+
+
+def minhash_bands_sql_spark(rel: str = "documents") -> str:
+    """Long-form (doc_id, band, band_key) LSH bucket relation over ``rel``
+    — the durable-store projection the incremental dataprep pipeline
+    persists per wave (operators/dataprep_incremental.py)."""
+    mins, band_structs = _minhash_parts()
+    return f"""
+WITH {_shingle_cte_spark(rel)},
+hashed AS (
+  SELECT doc_id,
+         cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
+  FROM shingles
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed
+  GROUP BY doc_id
+)
+SELECT doc_id, bb.band AS band, bb.band_key AS band_key
+FROM sig
+LATERAL VIEW explode(array({band_structs})) t AS bb
+"""
+
+
+def dedup_minhash_sql_spark(rel: str = "documents") -> str:
+    """MinHash+LSH near-dup-pairs SQL over relation ``rel`` (parameterized
+    for the composed dataprep pipeline)."""
+    mins, band_structs = _minhash_parts()
     return f"""
 WITH {_shingle_cte_spark(rel)},
 hashed AS (

@@ -268,3 +268,36 @@ def test_cli_stream_statsrefresh_maintenance_chain(spark, tmp_path):
     assert sinks2.document.read().count() == n_doc
     assert sinks2.document.contains_batch(committed)  # replay fence survives
     assert len(sinks2.document.retained_versions()) == 1
+
+
+def test_cli_dataprep_refresh_two_waves(spark, tmp_path, capsys):
+    """`cli dataprep-refresh` drives the incremental prep loop end to
+    end: two ingest+refresh waves append to the packed store and the
+    result equals the one-shot pipeline over the union."""
+    import json
+
+    from dataflow_opinion_analysis_spark.operators.dataprep_incremental import (
+        IncrementalDataPrep,
+    )
+    from dataflow_opinion_analysis_spark.operators.dataprep_pipeline import (
+        build_dataprep,
+    )
+    from tests.conftest import SF_DIR
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    w1, w2 = str(tmp_path / "w1"), str(tmp_path / "w2")
+    docs.filter(F.col("doc_id") < 250).write.parquet(w1)
+    docs.filter(F.col("doc_id") >= 250).write.parquet(w2)
+    store = str(tmp_path / "store")
+
+    for wave, path in ((0, w1), (1, w2)):
+        assert cli.main(["dataprep-refresh", "--store", store,
+                         "--ingest", path, "--wave", str(wave)]) == 0
+        out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+        assert out["new_docs"] == 250 and out["packed"] > 0
+
+    packed = IncrementalDataPrep(spark, store).packed.read()
+    full = build_dataprep(spark, docs).packed
+    cols = ["doc_id", "n_tokens", "start_offset", "n_chunks", "scrubbed_hash"]
+    assert packed.select(cols).exceptAll(full.select(cols)).count() == 0
+    assert packed.count() == full.count()
