@@ -551,7 +551,7 @@ def write_md(result: dict) -> None:
         "result at the top of this file IS that run. The failed 0.649",
         "confirmation of the OLD code above remains recorded and is not",
         "superseded retroactively: it measured the code it measured.",
-        "Outcome (2026-08-18T11:04Z): pairs 0.751 (CLEAN, drift 0.12,",
+        "Outcome (2026-08-18T10:52:40Z): pairs 0.751 (CLEAN, drift 0.12,",
         "asymmetry 0.002) / 0.833 (CLEAN, drift 0.025) / 0.852 (noisy —",
         "side asymmetry 13.7%, the 8-side landed on a faster host phase,",
         "so its higher number is rightly excluded). Clean-pair median",
