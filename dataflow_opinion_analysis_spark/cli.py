@@ -270,6 +270,7 @@ def cmd_dataprep(args) -> int:
         spark, docs,
         repetition_filter=getattr(args, "repetition_filter", False),
         eval_docs=eval_docs,
+        cluster_dedup=getattr(args, "cluster_dedup", False),
     )
     packed = st.packed
     packed.write.mode(args.mode).parquet(args.output)
@@ -404,6 +405,12 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument(
         "--repetition-filter", action="store_true",
         help="drop docs failing the Gopher repetition rules before dedup",
+    )
+    p.add_argument(
+        "--cluster-dedup", action="store_true",
+        help="near-dedup keeps one doc per connected COMPONENT of the "
+             "pair graph (large-star/small-star CC) instead of the "
+             "pair-local drop-doc_b rule",
     )
     p.add_argument(
         "--decontaminate-against", default=None,

@@ -319,6 +319,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     from dataflow_opinion_analysis_spark import oracles_dataprep
     from dataflow_opinion_analysis_spark.functions import entities
     from dataflow_opinion_analysis_spark.operators import (
+        components,
         dataprep,
         dataprep_pipeline,
         llmprep,
@@ -332,6 +333,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "dedup_exact": dataprep.dedup_exact,
         "dedup_ngram_jaccard": dataprep.dedup_ngram_jaccard,
         "dedup_minhash_lsh": dataprep.dedup_minhash_lsh,
+        "dedup_cluster_cc": components.dedup_cluster_cc,
         "dedup_simhash": dataprep.dedup_simhash,
         "text_langid": dataprep.text_langid,
         "text_quality": dataprep.text_quality,

@@ -15,7 +15,11 @@ Stage semantics (each stage consumes the previous stage's survivors):
    semantics) over the exact-dedup survivors; every doc that appears as
    the GREATER id (doc_b) of a >=threshold pair is dropped, keeping the
    smallest id of each near-dup cluster edge. Deterministic and
-   SQL-expressible in both engines (no iterative connected components).
+   SQL-expressible in both engines. ``cluster_dedup=True`` upgrades the
+   rule to true keep-one-per-CLUSTER via iterative connected components
+   (operators/components.py, large-star/small-star — its own gate is
+   ``dedup_cluster_cc``); the default stays pair-local so the gated
+   pipeline remains one SQL oracle chain.
 4. pii_scrub — text rewritten through the llmprep.PII_PATTERNS
    replacement chain (with the deterministic PII injection, so the
    stage provably rewrites something). 1:1 — no rows dropped.
@@ -105,6 +109,7 @@ def build_dataprep(
     materialize: bool = True,
     repetition_filter: bool = False,
     eval_docs: DataFrame | None = None,
+    cluster_dedup: bool = False,
 ) -> SimpleNamespace:
     """Run the composed pipeline over ``docs`` (doc_id, lang, text, ...).
     Returns the stage DataFrames: .filtered .exact .kept .scrubbed .packed
@@ -154,7 +159,23 @@ def build_dataprep(
     exact.createOrReplaceTempView("dp_exact")
 
     pairs = spark.sql(dataprep.dedup_minhash_sql_spark("dp_exact"))
-    losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
+    if cluster_dedup:
+        # cluster-level keep: connected components over the pair graph,
+        # drop every non-canonical member. Strictly stronger than the
+        # pair-local rule below — e.g. pairs (1,3),(2,3) leave doc 2
+        # alive under drop-every-doc_b but CC folds {1,2,3} into one
+        # cluster keeping only 1. Costs O(log n) extra edge-list rounds
+        # (operators/components.py); the default stays pair-local so the
+        # gated query remains one SQL-expressible oracle chain.
+        from dataflow_opinion_analysis_spark.operators import components
+
+        comp = components.connected_components(pairs, a="doc_a", b="doc_b")
+        losers = (
+            comp.filter(F.col("node") != F.col("rep"))
+            .select(F.col("node").alias("doc_id"))
+        )
+    else:
+        losers = pairs.select(F.col("doc_b").alias("doc_id")).distinct()
     kept = _ckpt(exact.join(losers, "doc_id", "left_anti"))
     kept.createOrReplaceTempView("dp_kept")
 

@@ -740,8 +740,32 @@ SELECT n.doc_id, n.modality,
 FROM n JOIN sums s ON s.doc_id = n.doc_id
 """
 
+# Independent mirror of operators/components.dedup_cluster_cc: the same
+# MinHash pair graph, components by recursive-CTE reachability (rep =
+# min reachable id; fine at oracle scale — the Spark side uses the
+# O(log n)-round large-star/small-star algorithm instead, since a
+# recursive self-join is unbounded at 100 TB).
+DEDUP_CLUSTER_CC_SQL = f"""
+WITH RECURSIVE {minhash_pairs_ctes_duck()},
+edges AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION
+  SELECT doc_b AS u, doc_a AS v FROM pairs
+),
+reach AS (
+  SELECT u, u AS r FROM (SELECT DISTINCT u FROM edges) t
+  UNION
+  SELECT e.u, reach.r FROM edges e JOIN reach ON reach.u = e.v
+),
+comp AS (SELECT u AS doc_id, min(r) AS rep_id FROM reach GROUP BY u),
+sz AS (SELECT rep_id, count(*) AS cluster_size FROM comp GROUP BY rep_id)
+SELECT c.doc_id, c.rep_id, s.cluster_size, (c.doc_id = c.rep_id) AS is_canonical
+FROM comp c JOIN sz s USING (rep_id)
+"""
+
 DATAPREP_ORACLES: dict[str, str] = {
     "dataprep_pipeline": DATAPREP_PIPELINE_SQL,
+    "dedup_cluster_cc": DEDUP_CLUSTER_CC_SQL,
     "multimodal_features": MULTIMODAL_FEATURES_SQL,
     "multimodal_decode": MULTIMODAL_DECODE_SQL,
     "pack_sequences": PACK_SEQUENCES_SQL,
