@@ -386,6 +386,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "wrsocialcount_jdbc": events_ops.wrsocialcount_jdbc,
         "events_sessionization": events_ops.events_sessionization,
         "events_tumbling_agg": events_ops.events_tumbling_agg,
+        "events_sliding_agg": events_ops.events_sliding_agg,
+        "events_interval_join": events_ops.events_interval_join,
+        "events_cep_pattern": events_ops.events_cep_pattern,
         "events_topk_salted": events_ops.events_topk_salted,
         "tpch_q1_like": events_ops.tpch_q1_like,
         "tpch_top_customers": events_ops.tpch_top_customers,

@@ -314,3 +314,108 @@ def events_topk_salted(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.col("value") * 100).cast("bigint").alias("value_c"),
     )
+
+
+SLIDE_WINDOW = "1 hour"
+SLIDE_STEP_MIN = 15
+ATTRIBUTION_WINDOW_HOURS = 6
+CEP_WINDOW_HOURS = 24
+CEP_PATTERN = ("view", "click", "purchase")
+
+
+def events_sliding_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding event-time windows (1 hour long, sliding every 15
+    minutes) per event type — the north rule's sliding-window shape,
+    batch twin of the streaming `F.window(ts, '1 hour', '15 minutes')`
+    aggregation. Each event lands in exactly 4 overlapping windows;
+    Spark's window() expands them JVM-side before the hash aggregate, so
+    the plan is explode + partial agg + one shuffle (no per-row
+    Python)."""
+    from pyspark.sql import functions as F
+
+    ev = _view(spark, sf_dir, "events")
+    return (
+        ev.groupBy(
+            F.window("ts", SLIDE_WINDOW, f"{SLIDE_STEP_MIN} minutes").alias("w"),
+            "event_type",
+        )
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("total_value_c"),
+            F.countDistinct("user_id").alias("n_users"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "total_value_c",
+            "n_users",
+        )
+    )
+
+
+def events_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time interval join: attribute each 'purchase' to every
+    'view' by the same user that happened in the preceding 6 hours
+    (view.ts < purchase.ts <= view.ts + 6h) — the north rule's
+    stateful join, in its batch form. The plan is an equi-join on
+    user_id with the range predicate as a post-join filter: Catalyst
+    keeps it a shuffled hash join on the key (never a cartesian), and
+    the same condition drives the streaming stream-stream join in
+    streaming/windows.py, where the 6-hour bound plus watermarks is
+    what lets Spark expire join state."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        f"""
+SELECT v.user_id                                  AS user_id,
+       v.event_id                                 AS view_event_id,
+       p.event_id                                 AS purchase_event_id,
+       v.ts                                       AS view_ts,
+       p.ts                                       AS purchase_ts,
+       cast(round(p.value * 100) AS bigint)       AS purchase_value_c
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL {ATTRIBUTION_WINDOW_HOURS} HOUR
+"""
+    )
+
+
+def events_cep_pattern(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CEP sequence detection (MATCH_RECOGNIZE shape): per user, find
+    every strictly consecutive view -> click -> purchase run in the
+    user's (view|click|purchase)-filtered event stream, with the whole
+    run inside {CEP_WINDOW_HOURS} hours. Rebuilt as two lead()
+    windows over the filtered ordered stream — one shuffle on user_id,
+    no self-joins, no per-row Python; the window partition is one
+    user's events, so the serial span is bounded by a single user's
+    activity exactly like events_sessionization."""
+    _view(spark, sf_dir, "events")
+    pat = ", ".join(f"'{t}'" for t in CEP_PATTERN)
+    return spark.sql(
+        f"""
+WITH flt AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE event_type IN ({pat})
+),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+    lead(event_id, 1)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id1,
+    lead(event_id, 2)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id2,
+    lead(ts, 2)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+  FROM flt
+)
+SELECT user_id,
+       event_id AS view_event_id,
+       id1      AS click_event_id,
+       id2      AS purchase_event_id,
+       ts       AS pattern_start,
+       ts2      AS pattern_end
+FROM seq
+WHERE event_type = '{CEP_PATTERN[0]}' AND t1 = '{CEP_PATTERN[1]}' AND t2 = '{CEP_PATTERN[2]}'
+  AND ts2 <= ts + INTERVAL {CEP_WINDOW_HOURS} HOUR
+"""
+    )

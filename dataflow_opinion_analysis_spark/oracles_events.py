@@ -84,6 +84,62 @@ FROM events
 GROUP BY 1, 2
 """
 
+# Spark's window(ts, '1h', '15m') puts each row in exactly 4 windows
+# whose starts are time_bucket(15m, ts) - k*15m for k = 0..3 (windows
+# are [start, start+1h), aligned to the epoch like Spark's).
+EVENTS_SLIDING_AGG_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+         event_type, user_id, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+SELECT window_start, event_type,
+  count(*)                    AS n,
+  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS total_value_c,
+  count(DISTINCT user_id)     AS n_users
+FROM expanded
+GROUP BY 1, 2
+"""
+
+EVENTS_INTERVAL_JOIN_SQL = """
+SELECT v.user_id                                  AS user_id,
+       v.event_id                                 AS view_event_id,
+       p.event_id                                 AS purchase_event_id,
+       v.ts                                       AS view_ts,
+       p.ts                                       AS purchase_ts,
+       cast(round(p.value * 100) AS bigint)       AS purchase_value_c
+FROM (SELECT * FROM events WHERE event_type = 'view') v
+JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+  ON p.user_id = v.user_id
+ AND p.ts > v.ts
+ AND p.ts <= v.ts + INTERVAL 6 HOUR
+"""
+
+EVENTS_CEP_PATTERN_SQL = """
+WITH flt AS (
+  SELECT user_id, event_id, ts, event_type
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+seq AS (
+  SELECT user_id, event_id, ts, event_type,
+    lead(event_type, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t1,
+    lead(event_type, 2) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS t2,
+    lead(event_id, 1)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id1,
+    lead(event_id, 2)   OVER (PARTITION BY user_id ORDER BY ts, event_id) AS id2,
+    lead(ts, 2)         OVER (PARTITION BY user_id ORDER BY ts, event_id) AS ts2
+  FROM flt
+)
+SELECT user_id,
+       event_id AS view_event_id,
+       id1      AS click_event_id,
+       id2      AS purchase_event_id,
+       ts       AS pattern_start,
+       ts2      AS pattern_end
+FROM seq
+WHERE event_type = 'view' AND t1 = 'click' AND t2 = 'purchase'
+  AND ts2 <= ts + INTERVAL 24 HOUR
+"""
+
 TPCH_Q1_SQL = """
 SELECT l_returnflag, l_linestatus,
   cast(sum(cast(round(l_quantity * 100) AS bigint)) AS bigint) AS sum_qty_c,
@@ -180,6 +236,9 @@ EVENTS_ORACLES: dict[str, str] = {
     "wrsocialcount_jdbc": WRSOCIALCOUNT_JDBC_SQL,
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "events_tumbling_agg": EVENTS_TUMBLING_AGG_SQL,
+    "events_sliding_agg": EVENTS_SLIDING_AGG_SQL,
+    "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
+    "events_cep_pattern": EVENTS_CEP_PATTERN_SQL,
     "tpch_q1_like": TPCH_Q1_SQL,
     "tpch_top_customers": TPCH_TOP_CUSTOMERS_SQL,
     "events_topk_salted": EVENTS_TOPK_SALTED_SQL,
