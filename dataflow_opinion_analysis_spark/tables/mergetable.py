@@ -351,6 +351,20 @@ class MergeTable:
         )
 
     # -- MERGE ----------------------------------------------------------------
+    def record_empty(self, batch_id: int) -> None:
+        """Record ``batch_id`` as committed without writing any data —
+        the driver-side-only twin of merging an empty frame (same
+        manifest entry the n==0 merge path writes, zero Spark jobs).
+        Keeps the batch-id space contiguous so a replay under different
+        micro-batch boundaries (fresh checkpoint) fences the same ids a
+        live run committed; a gap here is how a replayed non-empty batch
+        could slip past the fence."""
+        snap = self.current_snapshot()
+        if _ranges_contains(snap["batch_ranges"], int(batch_id)):
+            return
+        entry = {"batch_id": batch_id, "files": [], "rows": 0, "ts": time.time()}
+        self._commit(self._next_snap(snap, snap["files"], entry))
+
     def merge(
         self,
         batch: DataFrame,
