@@ -339,6 +339,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "text_quality": dataprep.text_quality,
         "text_token_count": dataprep.text_token_count,
         "text_fingerprint": dataprep.text_fingerprint,
+        "text_tfidf_keywords": dataprep.text_tfidf_keywords,
         "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
         "similarity_ann_lsh": similarity.similarity_ann_lsh,
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
@@ -390,6 +391,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "events_interval_join": events_ops.events_interval_join,
         "events_cep_pattern": events_ops.events_cep_pattern,
         "events_topk_salted": events_ops.events_topk_salted,
+        "events_percentiles": events_ops.events_percentiles,
         "tpch_q1_like": events_ops.tpch_q1_like,
         "tpch_top_customers": events_ops.tpch_top_customers,
     }

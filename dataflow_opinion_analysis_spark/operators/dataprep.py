@@ -384,6 +384,61 @@ GROUP BY source
     )
 
 
+TFIDF_TOP_K = 5
+
+
+def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document top-{TFIDF_TOP_K} keywords by TF-IDF
+    (keyword extraction over the documents table).
+
+    idf is the smoothed RATIO (N+1)/(df+1) rather than its logarithm,
+    and the score is emitted UNROUNDED: add/divide/multiply are
+    IEEE-754 correctly-rounded, so the doubles are bit-identical
+    across engines, whereas both ln() (libm last-ulp divergence — the
+    reason round 4 dropped sin() from the twin injection) and
+    round(x, 6) itself (Spark rounds the exact BigDecimal expansion,
+    DuckDB multiplies by 1e6 first — they disagree on razor-edge
+    doubles, observed at sf0.1) are not portable. Spark parses a
+    bare `1.0` literal as DECIMAL(2,1) and would run the whole
+    expression in rounded decimal arithmetic, hence the explicit
+    CAST AS DOUBLE. Ranking: tfidf
+    desc, token asc over those bit-identical scores.
+
+    Scale: tf is one (doc_id, token) hash agg (map-side combined);
+    df reuses tf — no second pass over text; the tf⋈df equi-join on
+    token is a plain shuffle join (a corpus-scale vocabulary can
+    exceed broadcast size); N is a scalar subquery, not a 1-row
+    cross join (no BroadcastNestedLoopJoin); top-k is a window
+    partitioned by doc_id — parallel over documents.
+    """
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (((SELECT count(*) FROM documents) + CAST(1.0 AS DOUBLE))
+                  / (df.df + CAST(1.0 AS DOUBLE))) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
+"""
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic min of sha256 over word
     {FINGERPRINT_N}-gram shingles (winnowing-style stable selection)."""

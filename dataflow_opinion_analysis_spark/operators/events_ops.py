@@ -146,6 +146,49 @@ def events_tumbling_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def events_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact discrete percentiles (p50/p90/p99 of value) per
+    (event_type, event day).
+
+    The percentile rule is written out as an explicit rank — value at
+    row_number ceil(p*n) under (value asc, event_id asc) — instead of
+    calling percentile_disc/quantile_disc, because the two engines'
+    built-ins disagree on boundary semantics while this rule is
+    bit-identical everywhere: the only float arithmetic is p*n (same
+    literal, same product) and the emitted percentile is an actual
+    data value, never an interpolation.
+
+    Scale: the sort is a window PARTITIONED by (event_type, day) —
+    parallelism is the group count and grows with the data's time
+    span. Exact percentiles fundamentally need the per-group sort; at
+    100 TB with huge single-day groups the scale path is
+    approx_percentile (t-digest-style sketch, map-side combined) with
+    this exact form kept as the small-partition oracle.
+    """
+    from pyspark.sql import functions as F  # noqa: F401  (registers view)
+
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+WITH ranked AS (
+  SELECT event_type, cast(date_trunc('day', ts) AS date) AS event_date, value,
+         row_number() OVER (
+             PARTITION BY event_type, cast(date_trunc('day', ts) AS date)
+             ORDER BY value, event_id) AS rn,
+         count(*) OVER (
+             PARTITION BY event_type, cast(date_trunc('day', ts) AS date)) AS n
+  FROM events
+)
+SELECT event_type, event_date, max(n) AS n_events,
+  max(CASE WHEN rn = greatest(cast(ceil(0.50 * n) AS bigint), 1) THEN value END) AS p50,
+  max(CASE WHEN rn = greatest(cast(ceil(0.90 * n) AS bigint), 1) THEN value END) AS p90,
+  max(CASE WHEN rn = greatest(cast(ceil(0.99 * n) AS bigint), 1) THEN value END) AS p99
+FROM ranked
+GROUP BY event_type, event_date
+"""
+    )
+
+
 def tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over lineitem: the SQL-layer aggregate benchmark
     (G7/G8 operator family) on the table that scales with SF."""

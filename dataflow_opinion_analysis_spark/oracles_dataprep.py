@@ -230,6 +230,32 @@ WHERE shingle <> ''
 GROUP BY doc_id
 """
 
+TFIDF_K = dataprep.TFIDF_TOP_K
+TEXT_TFIDF_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, cast(count(*) AS bigint) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, cast(count(*) AS bigint) AS df FROM tf GROUP BY token
+),
+scored AS (
+  SELECT tf.doc_id, tf.token, tf.tf, df.df,
+         tf.tf * (((SELECT count(*) FROM documents) + 1.0)
+                  / (df.df + 1.0)) AS tfidf
+  FROM tf JOIN df ON tf.token = df.token
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY doc_id ORDER BY tfidf DESC, token ASC) AS rk
+  FROM scored
+)
+SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_K}
+"""
+
 # ---------------------------------------------------------------------------
 # similarity
 # ---------------------------------------------------------------------------
@@ -779,6 +805,7 @@ DATAPREP_ORACLES: dict[str, str] = {
     "text_quality": TEXT_QUALITY_SQL,
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
+    "text_tfidf_keywords": TEXT_TFIDF_SQL,
     "text_entities": TEXT_ENTITIES_SQL,
     "split_ab": SPLIT_AB_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,

@@ -230,6 +230,28 @@ SELECT
 FROM agg
 """
 
+# Same explicit rank rule as the Spark side (value at row_number
+# ceil(p*n), ties broken by event_id): the built-in quantile_disc /
+# percentile_disc boundary semantics differ between engines, this is
+# bit-identical.
+EVENTS_PERCENTILES_SQL = """
+WITH ranked AS (
+  SELECT event_type, cast(date_trunc('day', ts) AS date) AS event_date, value,
+         row_number() OVER (
+             PARTITION BY event_type, cast(date_trunc('day', ts) AS date)
+             ORDER BY value, event_id) AS rn,
+         count(*) OVER (
+             PARTITION BY event_type, cast(date_trunc('day', ts) AS date)) AS n
+  FROM events
+)
+SELECT event_type, event_date, cast(max(n) AS bigint) AS n_events,
+  max(CASE WHEN rn = greatest(cast(ceil(0.50 * n) AS bigint), 1) THEN value END) AS p50,
+  max(CASE WHEN rn = greatest(cast(ceil(0.90 * n) AS bigint), 1) THEN value END) AS p90,
+  max(CASE WHEN rn = greatest(cast(ceil(0.99 * n) AS bigint), 1) THEN value END) AS p99
+FROM ranked
+GROUP BY event_type, event_date
+"""
+
 EVENTS_ORACLES: dict[str, str] = {
     "statngram": STATNGRAM_SQL,
     "wrsocialcount": WRSOCIALCOUNT_SQL,
@@ -242,4 +264,5 @@ EVENTS_ORACLES: dict[str, str] = {
     "tpch_q1_like": TPCH_Q1_SQL,
     "tpch_top_customers": TPCH_TOP_CUSTOMERS_SQL,
     "events_topk_salted": EVENTS_TOPK_SALTED_SQL,
+    "events_percentiles": EVENTS_PERCENTILES_SQL,
 }
