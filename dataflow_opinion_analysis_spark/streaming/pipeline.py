@@ -240,7 +240,29 @@ def process_batch(
     ontime = assembled.filter(F.col("status") != "late")
 
     ic = ingest.derive_input_content(ontime, processing_time, parent_mode="provided")
-    to_index, skipped = ingest.split_skip_indexing(ic)
+    to_index, _ = ingest.split_skip_indexing(ic)
+
+    # NARROW key cache: every small consumer of the derived batch — claim
+    # derivation (window + semi/anti joins), the dupe re-pointing, and the
+    # skipped/dupe webresource branches — reads this ~15-column projection
+    # (everything but `text`) instead of re-running the sha256 derivation
+    # over the wide text-bearing frame. Before this cache the webresource
+    # merge alone re-derived the batch twice (dupes + skipped branches) and
+    # the claim chain a third time: per-micro-batch serial residue that
+    # capped 2->8 scaling (profiled via scripts/profile_stream_residue.py).
+    # The wide text-bearing derivation now materializes exactly ONCE, into
+    # the tagged-winners cache below. O(batch × ~200B) executor memory.
+    _key_cols = [
+        "content_hash", "expected_document_hash", "web_resource_hash",
+        "parent_web_resource_hash", "url", "pub_time", "pub_date_id",
+        "processing_time", "processing_date_id", "document_collection_id",
+        "collection_item_id", "title", "conv_id", "turn_idx", "author",
+        "meta_fields", "skip_indexing",
+    ]
+    ic_keys = ic.select(*_key_cols).persist()
+    persisted.append(ic_keys)
+    index_keys = ic_keys.filter(F.col("skip_indexing") == 0)
+    skipped_keys = ic_keys.filter(F.col("skip_indexing") != 0)
 
     # exact dedupe (D1), cross-batch-consistent:
     # 1. in-batch winners (same operator as batch mode);
@@ -252,19 +274,20 @@ def process_batch(
     #    iff the index maps its content hash to its own document hash.
     #    This repoints in-batch dupes of already-claimed content to the
     #    original winner, matching the batch-global oracle.
-    inbatch_winners, _ = dedupe.exact_dedupe(to_index)
+    inbatch_winners, _ = dedupe.exact_dedupe(index_keys)
     # The content index grows monotonically (one row per distinct content
     # hash ever ingested) — broadcasting it per micro-batch would grow
     # driver memory without bound, and scanning it more than once per
     # batch taxes every commit with O(history) reads. So: ONE scan,
     # semi-joined down to THIS batch's hashes (per-batch memory stays
-    # O(batch)); first-claim is then an O(batch) anti-join against that
-    # slice — a hash already claimed by an earlier batch must lose — and
-    # the surviving claims are genuinely new rows, so the merge takes the
+    # O(batch); no pre-distinct — left_semi deduplicates by itself);
+    # first-claim is then an O(batch) anti-join against that slice — a
+    # hash already claimed by an earlier batch must lose — and the
+    # surviving claims are genuinely new rows, so the merge takes the
     # assume_new fast path (one narrow write job, no table re-scan; the
     # claims are also unique per hash because exact_dedupe winners are
     # row_number()==1 per content_hash).
-    batch_hashes = to_index.select("content_hash").distinct()
+    batch_hashes = index_keys.select("content_hash")
     prior_claims = (
         sinks.content_index.read()
         .join(batch_hashes, "content_hash", "left_semi")
@@ -282,7 +305,20 @@ def process_batch(
         .persist()
     )
     persisted.append(new_claims)
-    sinks.content_index.merge(new_claims, batch_id, assume_new=True)
+    # one cheap barrier materializes BOTH narrow claim caches (the anti
+    # join scans prior_claims fully), so the store write below and the
+    # routing joins read the caches — concurrently, without the
+    # double-compute race an unmaterialized persist invites
+    new_claims.count()
+    _mark("ci_claims")
+    # the content-index write is off the critical path: routing uses the
+    # cached claim frames, not the store, so the narrow write job overlaps
+    # the tag/fan-out compute below; joined before the metrics commit
+    # (and on any failure path) so exactly-once ordering is unchanged.
+    _ci_pool = _futures.ThreadPoolExecutor(max_workers=1)
+    ci_future = _ci_pool.submit(
+        sinks.content_index.merge, new_claims, batch_id, assume_new=True
+    )
     _mark("content_index_merge")
     # Routing map = prior claims ∪ this batch's claims — identical to
     # re-reading the post-merge index (every batch hash has a winner:
@@ -294,7 +330,9 @@ def process_batch(
     winners = routed.filter(
         F.col("expected_document_hash") == F.col("winner_document_hash")
     ).drop("winner_document_hash")
-    exact_dupes = routed.filter(
+    # dupe re-pointing runs over the NARROW key cache — the webresource
+    # branch needs no text, so it must not re-derive the wide frame
+    exact_dupes = index_keys.join(mapping, "content_hash", "left").filter(
         F.col("expected_document_hash") != F.col("winner_document_hash")
     )
 
@@ -377,7 +415,7 @@ def process_batch(
     sentiment = fanout.sentiment_rows_fused(soft_winners)
     wr = fanout.webresource_rows(soft_winners)
     wr = wr.unionByName(fanout.webresource_rows(exact_dupes, "winner_document_hash"))
-    wr = wr.unionByName(fanout.webresource_rows(skipped))
+    wr = wr.unionByName(fanout.webresource_rows(skipped_keys))
     if soft_dupes is not None:
         wr = wr.unionByName(fanout.webresource_rows(soft_dupes, "winner_document_hash"))
 
@@ -407,16 +445,28 @@ def process_batch(
     # raises pre-commit on a gross uniqueness violation (Observation
     # guard). This is the O(batch)-not-O(table) requirement: at 10^12
     # turns the sinks cannot re-scan their history every commit.
+    def _timed_merge(name, table, frame):
+        t0 = _time.perf_counter()
+        n = table.merge(frame, batch_id, assume_new=True)
+        if _prof_on:
+            _prof[f"sink_{name}"] = round(_time.perf_counter() - t0, 3)
+        return n
+
     with _futures.ThreadPoolExecutor(max_workers=3) as pool:
-        f_docs = pool.submit(
-            sinks.document.merge, document, batch_id, assume_new=True)
-        f_sents = pool.submit(
-            sinks.sentiment.merge, sentiment, batch_id, assume_new=True)
-        f_wr = pool.submit(
-            sinks.webresource.merge, wr, batch_id, assume_new=True)
+        f_docs = pool.submit(_timed_merge, "document", sinks.document, document)
+        f_sents = pool.submit(_timed_merge, "sentiment", sinks.sentiment, sentiment)
+        f_wr = pool.submit(_timed_merge, "webresource", sinks.webresource, wr)
         n_docs = f_docs.result()
         n_sents = f_sents.result()
         f_wr.result()
+    # join the overlapped content-index write before the metrics commit:
+    # its failure must fail the batch. If an exception above skips this
+    # join, the thread finishes its own atomic commit in the background —
+    # a replayed batch racing it merely loses one of two identical
+    # deterministic commits (pointer rename is last-writer-wins; the
+    # loser's data dir is an unreferenced orphan for vacuum()).
+    ci_future.result()
+    _ci_pool.shutdown()
     _mark("sink_merges")
 
     max_ts = stats.max_ts

@@ -105,9 +105,8 @@ def main() -> int:
     print(f"sum(triggerExecution)={trig_total:.1f}s  "
           f"harness idle={result['wall'] - trig_total:.1f}s")
     print("-- process_batch phases --")
-    keys = ["stats_agg", "content_index_merge",
-            "winners_materialize", "sink_merges", "total"]
     for d in profile_lines:
+        keys = [k for k in d if k not in ("profile_batch", "n_input")]
         print(f"batch {d['profile_batch']}: n={d['n_input']} " +
               " ".join(f"{k}={d.get(k, 0):.2f}s" for k in keys))
     return 0
