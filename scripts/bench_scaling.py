@@ -583,8 +583,21 @@ def write_md(result: dict) -> None:
         "re-read, including under replay). Single unpaired quiet-window",
         "probes, NOT protocol evidence: local[2] 212.0s -> 205.5s,",
         "local[8] 72.4s -> 68.4s on the same 509k-turn input (informal",
-        "ratio 0.73 -> 0.75). Whatever round 6 measures on this code",
-        "under the frozen flags is the number.",
+        "ratio 0.73 -> 0.75). A third cut followed (commit 80a6eac):",
+        "the per-phase profiler showed the webresource merge re-running",
+        "the sha256 batch derivation twice (dupe re-pointing + skipped",
+        "branches) and the claim chain a third time, each a bundle of",
+        "small core-count-independent jobs — now one narrow ~15-column",
+        "key cache feeds all small consumers, the wide text-bearing",
+        "derivation materializes exactly once, and the content-index",
+        "write job overlaps the tag/fan-out compute (joined before the",
+        "metrics commit). Same-session paired profiles: local[8] 80.6s",
+        "-> 73.0s, local[2] 230.9s -> 216.7s; fresh unpaired cold",
+        "probes on a quiet 183 Miter/s phase: local[2] 223.9s,",
+        "local[8] 75.4s (informal COLD ratio 2.97x, and the protocol",
+        "metric is steady-state, which excludes the one-time ramp this",
+        "single-run number still carries). Whatever round 6 measures on",
+        "this code under the frozen flags is the number.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
