@@ -378,6 +378,18 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     for name, fn in curation_fns.items():
         reg[name] = (fn, oracles_curation.CURATION_ORACLES.get(name))
 
+    from dataflow_opinion_analysis_spark import oracles_sftprep
+    from dataflow_opinion_analysis_spark.operators import sftprep
+
+    sftprep_fns = {
+        "sft_pairs": sftprep.sft_pairs,
+        "chat_render": sftprep.chat_render,
+        "dedup_paragraph": sftprep.dedup_paragraph,
+        "text_bigram_stats": sftprep.text_bigram_stats,
+    }
+    for name, fn in sftprep_fns.items():
+        reg[name] = (fn, oracles_sftprep.SFTPREP_ORACLES.get(name))
+
     from dataflow_opinion_analysis_spark import oracles_events
     from dataflow_opinion_analysis_spark.operators import events_ops
 
