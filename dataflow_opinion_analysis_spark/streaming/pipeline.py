@@ -259,7 +259,11 @@ def process_batch(
         "collection_item_id", "title", "conv_id", "turn_idx", "author",
         "meta_fields", "skip_indexing",
     ]
-    ic_keys = ic.select(*_key_cols).persist()
+    # pre-partitioned by content_hash: the exact-dedupe window, the claim
+    # anti-join and the dupe re-pointing join all key on content_hash, and
+    # InMemoryTableScan preserves the cached outputPartitioning — so the
+    # one exchange paid while building the cache replaces one per consumer
+    ic_keys = ic.select(*_key_cols).repartition(F.col("content_hash")).persist()
     persisted.append(ic_keys)
     index_keys = ic_keys.filter(F.col("skip_indexing") == 0)
     skipped_keys = ic_keys.filter(F.col("skip_indexing") != 0)
