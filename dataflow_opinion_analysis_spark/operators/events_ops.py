@@ -189,6 +189,78 @@ GROUP BY event_type, event_date
     )
 
 
+def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at ts' <= ts (ties: click sorts before the purchase; among
+    equal-ts clicks the largest event_id wins — a deterministic total
+    order, since event_id is unique).
+
+    Spark has no native as-of join; the naive encoding is an interval
+    join + per-row argmax (quadratic in per-user density). This is the
+    scalable composition: UNION the two sides with a side marker and
+    take a running last_value(... IGNORE NULLS) per user — ONE shuffle
+    by user_id, per-user linear work, no self-join at all.
+
+    The gap is emitted in MICROSECONDS (the data's native resolution):
+    at that granularity boundary-counting (DuckDB date_diff) and
+    truncating difference (Spark timestampdiff) coincide exactly, where
+    a seconds-level diff would diverge on fractional timestamps.
+    """
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(CASE WHEN side = 0 THEN event_id END, true) OVER (
+             PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS click_event_id,
+         last_value(CASE WHEN side = 0 THEN ts END, true) OVER (
+             PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS click_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts, click_event_id, click_ts,
+       CASE WHEN click_ts IS NOT NULL
+            THEN timestampdiff(MICROSECOND, click_ts, ts) END AS gap_us
+FROM m
+WHERE side = 1
+"""
+    )
+
+
+def events_rolling_1h(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event trailing-hour features per user (rate-limit / feature
+    engineering shape): count, min(value), max(value) over
+    [ts - 1h, ts] at second granularity (the RANGE key is the
+    floor-second epoch, identical in both engines), so equal-key
+    peers are always all included — deterministic under ties — and the
+    aggregates are order-independent (count/min/max; a rolling SUM of
+    doubles would accumulate in engine-specific order and is left out
+    on purpose). One shuffle by user_id; per-user sliding frame."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+SELECT event_id, user_id, ts,
+       count(*) OVER w AS n_1h,
+       min(value) OVER w AS min_value_1h,
+       max(value) OVER w AS max_value_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+    )
+
+
 def tpch_q1_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1 shape over lineitem: the SQL-layer aggregate benchmark
     (G7/G8 operator family) on the table that scales with SF."""

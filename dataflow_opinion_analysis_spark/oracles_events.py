@@ -252,6 +252,47 @@ FROM ranked
 GROUP BY event_type, event_date
 """
 
+# Same union + running last_value(IGNORE NULLS) composition as the Spark
+# side (Spark spells ignore-nulls as a second boolean argument, DuckDB as
+# the IGNORE NULLS modifier); date_diff mirrors timestampdiff(SECOND).
+EVENTS_ASOF_SQL = """
+WITH tagged AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS side
+  FROM events
+  WHERE event_type IN ('click', 'purchase')
+),
+m AS (
+  SELECT user_id, ts, event_id, side,
+         last_value(CASE WHEN side = 0 THEN event_id END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS click_event_id,
+         last_value(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, side, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+         ) AS click_ts
+  FROM tagged
+)
+SELECT event_id, user_id, ts, click_event_id, click_ts,
+       CASE WHEN click_ts IS NOT NULL
+            THEN date_diff('microsecond', click_ts, ts) END AS gap_us
+FROM m
+WHERE side = 1
+"""
+
+EVENTS_ROLLING_1H_SQL = """
+SELECT event_id, user_id, ts,
+       cast(count(*) OVER w AS bigint) AS n_1h,
+       min(value) OVER w AS min_value_1h,
+       max(value) OVER w AS max_value_1h
+FROM events
+WINDOW w AS (
+  PARTITION BY user_id
+  ORDER BY date_diff('second', TIMESTAMP '1970-01-01 00:00:00', ts)
+  RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+
 EVENTS_ORACLES: dict[str, str] = {
     "statngram": STATNGRAM_SQL,
     "wrsocialcount": WRSOCIALCOUNT_SQL,
@@ -265,4 +306,6 @@ EVENTS_ORACLES: dict[str, str] = {
     "tpch_top_customers": TPCH_TOP_CUSTOMERS_SQL,
     "events_topk_salted": EVENTS_TOPK_SALTED_SQL,
     "events_percentiles": EVENTS_PERCENTILES_SQL,
+    "events_asof_join": EVENTS_ASOF_SQL,
+    "events_rolling_1h": EVENTS_ROLLING_1H_SQL,
 }
