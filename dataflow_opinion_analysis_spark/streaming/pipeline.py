@@ -55,6 +55,13 @@ from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
 # later micro-batches can anti-join against everything already indexed
 DOCUMENT_SINK_SCHEMA = schemas.DOCUMENT.add("content_hash", "string")
 
+# per-batch routing-map broadcast ceiling (rows ~ 200B each in the build
+# hashmap => ~400MB at the default; raise/lower via env for deployments
+# with very large triggers or very small executors)
+_BROADCAST_MAPPING_MAX_ROWS = int(
+    os.environ.get("SPARK_GRAFT_BROADCAST_MAPPING_MAX_ROWS", "2000000")
+)
+
 METRICS_SCHEMA = (
     "batch_id long, n_input long, n_ok long, n_late long, n_overflow long, "
     "n_exact_dupes long, n_soft_dupes long, n_documents long, n_sentiments long, "
@@ -330,12 +337,27 @@ def process_batch(
     # in-batch winner), including under replay of a committed index
     # (new_claims recomputes empty, prior_claims covers everything).
     mapping = prior_claims.unionByName(new_claims.drop("pub_date_id"))
-    routed = to_index.join(mapping, "content_hash", "left")
+    # the mapping is O(batch distinct hashes) <= n_input — bounded by the
+    # trigger, NOT by table history — so for ordinary trigger sizes it is
+    # broadcastable and the routing join needs no shuffle of the wide
+    # text-bearing side at all. AQE cannot see this (both inputs are
+    # cached unions, sized after its threshold check), so the hint is
+    # explicit, guarded by the known batch row count: beyond the
+    # threshold (huge triggers) it falls back to the shuffle join.
+    mapping_wide = (
+        F.broadcast(mapping)
+        if n_input <= _BROADCAST_MAPPING_MAX_ROWS
+        else mapping
+    )
+    routed = to_index.join(mapping_wide, "content_hash", "left")
     winners = routed.filter(
         F.col("expected_document_hash") == F.col("winner_document_hash")
     ).drop("winner_document_hash")
     # dupe re-pointing runs over the NARROW key cache — the webresource
-    # branch needs no text, so it must not re-derive the wide frame
+    # branch needs no text, so it must not re-derive the wide frame. This
+    # join stays a shuffle join on purpose: ic_keys is already cached
+    # pre-partitioned on the key, and a second broadcast would cost a
+    # second per-batch driver collect for no avoided wide shuffle.
     exact_dupes = index_keys.join(mapping, "content_hash", "left").filter(
         F.col("expected_document_hash") != F.col("winner_document_hash")
     )
