@@ -164,3 +164,39 @@ def test_dataprep_pipeline_plan_clean(spark):
     assert_clean(df, "dataprep_pipeline")
     plan = plan_of(df)
     assert "Scan parquet" not in plan and "FileScan" not in plan, plan[:3000]
+
+
+def test_sftprep_and_event_feature_plans_clean(spark):
+    """Round-5 additions keep the same posture: equi-key shuffles only —
+    no cartesian products, no BroadcastNestedLoopJoin anywhere (none of
+    these queries joins a constant relation, so zero BNLs are allowed)."""
+    from dataflow_opinion_analysis_spark.operators import events_ops, sftprep
+
+    for name, fn in (
+        ("sft_pairs", sftprep.sft_pairs),
+        ("chat_render", sftprep.chat_render),
+        ("dedup_paragraph", sftprep.dedup_paragraph),
+        ("text_bigram_stats", sftprep.text_bigram_stats),
+        ("events_asof_join", events_ops.events_asof_join),
+        ("events_rolling_1h", events_ops.events_rolling_1h),
+        ("events_percentiles", events_ops.events_percentiles),
+    ):
+        plan = plan_of(fn(spark, SF_DIR))
+        for bad in FORBIDDEN + ("BroadcastNestedLoopJoin",):
+            assert bad not in plan, f"{name}: {bad}\n{plan[:3000]}"
+
+
+def test_asof_join_is_single_user_shuffle(spark):
+    """The as-of join must stay the union + running-window composition:
+    exactly one hashpartitioning exchange (by user_id) in the final plan
+    and no join operator at all — a regression to interval-join + argmax
+    would show a Join node and a second exchange."""
+    from dataflow_opinion_analysis_spark.operators import events_ops
+
+    plan = plan_of(events_ops.events_asof_join(spark, SF_DIR))
+    assert "Join" not in plan, plan[:3000]
+    tree = [
+        ln for ln in plan.splitlines()
+        if "Exchange hashpartitioning" in ln and ("+-" in ln or ln.startswith("*"))
+    ]
+    assert len(tree) <= 1, plan[:3000]
