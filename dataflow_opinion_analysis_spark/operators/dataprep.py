@@ -439,6 +439,50 @@ SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
     )
 
 
+CLASSIFIER_BUCKETS = 1024
+# fixed multiplicative-hash weights (Knuth constant): a deterministic
+# stand-in for trained weights — the served artifact of a hashed linear
+# (fastText-style) quality classifier. The serving plumbing (hash ->
+# bucket -> weight lookup -> per-doc sum -> threshold), not the training,
+# is what this operator demonstrates; swapping in real weights is a
+# literal VALUES relation join, the repo's IVF fit-then-serve pattern.
+CLASSIFIER_WEIGHT = "(pmod(bucket * 2654435761, 1000) - 500)"
+
+
+def text_hashed_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashed linear classifier serving (model-based quality filter):
+    each token hashes into one of {CLASSIFIER_BUCKETS} weight buckets
+    (sha256-prefix hash — the same engine-portable dice as
+    functions/entities._CAP_SPARK), the document score is the integer
+    sum of its tokens' bucket weights, keep = score >= 0. All-integer
+    arithmetic: bit-identical across engines, no float sums.
+
+    Scale: one explode + one hash agg per doc (map-side combined); the
+    weight is computed inline from the bucket id, so serving is a single
+    codegen pass — with trained weights it becomes a broadcast join
+    against a {CLASSIFIER_BUCKETS}-row literal relation, still scale-free."""
+    _docs(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         pmod(cast(conv(substr(sha2(token, 256), 1, 8), 16, 10) AS bigint),
+              {CLASSIFIER_BUCKETS}) AS bucket
+  FROM toks
+)
+SELECT doc_id,
+       count(*) AS n_tokens,
+       sum({CLASSIFIER_WEIGHT}) AS score,
+       CASE WHEN sum({CLASSIFIER_WEIGHT}) >= 0 THEN 1 ELSE 0 END AS keep
+FROM bucketed
+GROUP BY doc_id
+"""
+    )
+
+
 def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Document fingerprint: lexicographic min of sha256 over word
     {FINGERPRINT_N}-gram shingles (winnowing-style stable selection)."""

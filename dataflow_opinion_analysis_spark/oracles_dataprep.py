@@ -230,6 +230,25 @@ WHERE shingle <> ''
 GROUP BY doc_id
 """
 
+CLS_D = dataprep.CLASSIFIER_BUCKETS
+CLS_W = "((bucket * 2654435761) % 1000 - 500)"
+TEXT_HASHED_CLASSIFIER_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
+),
+bucketed AS (
+  SELECT doc_id,
+         cast('0x' || substr(sha256(token), 1, 8) AS bigint) % {CLS_D} AS bucket
+  FROM toks
+)
+SELECT doc_id,
+       cast(count(*) AS bigint) AS n_tokens,
+       cast(sum({CLS_W}) AS bigint) AS score,
+       CASE WHEN sum({CLS_W}) >= 0 THEN 1 ELSE 0 END AS keep
+FROM bucketed
+GROUP BY doc_id
+"""
+
 TFIDF_K = dataprep.TFIDF_TOP_K
 TEXT_TFIDF_SQL = f"""
 WITH toks AS (
@@ -806,6 +825,7 @@ DATAPREP_ORACLES: dict[str, str] = {
     "text_token_count": TEXT_TOKEN_COUNT_SQL,
     "text_fingerprint": TEXT_FINGERPRINT_SQL,
     "text_tfidf_keywords": TEXT_TFIDF_SQL,
+    "text_hashed_classifier": TEXT_HASHED_CLASSIFIER_SQL,
     "text_entities": TEXT_ENTITIES_SQL,
     "split_ab": SPLIT_AB_SQL,
     "similarity_topk_bruteforce": SIMILARITY_TOPK_SQL,
