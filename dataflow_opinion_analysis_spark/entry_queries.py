@@ -405,9 +405,11 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "events_cep_pattern": events_ops.events_cep_pattern,
         "events_topk_salted": events_ops.events_topk_salted,
         "events_percentiles": events_ops.events_percentiles,
+        "events_percentiles_approx": events_ops.events_percentiles_approx,
         "events_asof_join": events_ops.events_asof_join,
         "events_rolling_1h": events_ops.events_rolling_1h,
         "tpch_q1_like": events_ops.tpch_q1_like,
+        "tpch_region_rollup": events_ops.tpch_region_rollup,
         "tpch_top_customers": events_ops.tpch_top_customers,
     }
     for name, fn in events_fns.items():

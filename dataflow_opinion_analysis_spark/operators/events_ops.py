@@ -189,6 +189,27 @@ GROUP BY event_type, event_date
     )
 
 
+def events_percentiles_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch twin of events_percentiles — percentile_approx
+    (Greenwald-Khanna, accuracy 10000) per (event_type, day). This IS
+    the 100-TB path the exact operator's docstring points to: a
+    map-side-combinable sketch instead of a per-group sort, so a huge
+    single-day group never serializes. No DuckDB oracle on purpose —
+    sketch outputs are engine-specific (the driver records the weaker
+    rows-only check); the exact gate next to it pins the semantics, and
+    the pytest bounds this sketch against the exact values."""
+    _view(spark, sf_dir, "events")
+    return spark.sql(
+        """
+SELECT event_type, cast(date_trunc('day', ts) AS date) AS event_date,
+       count(*) AS n_events,
+       percentile_approx(value, array(0.50, 0.90, 0.99), 10000) AS p_approx
+FROM events
+GROUP BY event_type, cast(date_trunc('day', ts) AS date)
+"""
+    )
+
+
 def events_asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     """As-of join: each purchase matched to the same user's most recent
     click at ts' <= ts (ties: click sorts before the purchase; among
@@ -257,6 +278,33 @@ WINDOW w AS (
   PARTITION BY user_id
   ORDER BY timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)
   RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+"""
+    )
+
+
+def tpch_region_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Revenue ROLLUP over (region, nation): detail rows plus per-region
+    and grand-total subtotal rows — the OLAP grouping-sets surface over
+    the star join. Subtotal keys are made explicit with coalesce
+    sentinels (the engines' grouping()/grouping_id() functions differ);
+    revenue is integer cents so every subtotal is an exact integer sum.
+    The two dimension joins are broadcastable by construction (region=5,
+    nation=25 rows at every SF)."""
+    for t in ("region", "nation", "customer", "orders", "lineitem"):
+        _view(spark, sf_dir, t)
+    return spark.sql(
+        """
+SELECT coalesce(r.r_name, '<ALL>') AS region,
+       coalesce(n.n_name, '<ALL>') AS nation,
+       cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS bigint)) AS bigint) AS revenue_c,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
 """
     )
 

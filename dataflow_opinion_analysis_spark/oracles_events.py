@@ -151,6 +151,20 @@ WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
 GROUP BY l_returnflag, l_linestatus
 """
 
+TPCH_REGION_ROLLUP_SQL = """
+SELECT coalesce(r.r_name, '<ALL>') AS region,
+       coalesce(n.n_name, '<ALL>') AS nation,
+       cast(sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000)
+                AS bigint)) AS bigint) AS revenue_c,
+       count(*) AS n_items
+FROM lineitem l
+JOIN orders o   ON o.o_orderkey = l.l_orderkey
+JOIN customer c ON c.c_custkey = o.o_custkey
+JOIN nation n   ON n.n_nationkey = c.c_nationkey
+JOIN region r   ON r.r_regionkey = n.n_regionkey
+GROUP BY ROLLUP (r.r_name, n.n_name)
+"""
+
 TPCH_TOP_CUSTOMERS_SQL = """
 WITH rev AS (
   SELECT o.o_custkey,
@@ -303,6 +317,7 @@ EVENTS_ORACLES: dict[str, str] = {
     "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
     "events_cep_pattern": EVENTS_CEP_PATTERN_SQL,
     "tpch_q1_like": TPCH_Q1_SQL,
+    "tpch_region_rollup": TPCH_REGION_ROLLUP_SQL,
     "tpch_top_customers": TPCH_TOP_CUSTOMERS_SQL,
     "events_topk_salted": EVENTS_TOPK_SALTED_SQL,
     "events_percentiles": EVENTS_PERCENTILES_SQL,

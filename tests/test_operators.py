@@ -339,3 +339,29 @@ def test_multimodal_decode_real_formats(spark):
             assert len(payload) == frame_len * (d.n_frames or 0)
         n_checked[modality if d.decode_ok else "corrupt"] += 1
     assert all(v > 0 for v in n_checked.values()), n_checked
+
+
+def test_percentile_sketch_brackets_exact(spark):
+    """The GK sketch (events_percentiles_approx) must agree with the
+    exact rank rule (events_percentiles) to within the sketch's rank
+    accuracy — on 10k rows with accuracy 10000 the rank error is < 1,
+    so each approx value must lie within the group's [p-eps, p+eps]
+    exact-value bracket (here: equal one of the neighbouring order
+    statistics)."""
+    from tests.conftest import SF_DIR
+
+    from dataflow_opinion_analysis_spark.operators import events_ops
+
+    exact = {
+        (r["event_type"], r["event_date"]): r
+        for r in events_ops.events_percentiles(spark, SF_DIR).collect()
+    }
+    approx = events_ops.events_percentiles_approx(spark, SF_DIR).collect()
+    assert len(approx) == len(exact)
+    for r in approx:
+        e = exact[(r["event_type"], r["event_date"])]
+        for i, p in enumerate(("p50", "p90", "p99")):
+            # sketch rank error <= n/accuracy < 1 here => value within the
+            # exact neighbours; generous absolute guard for robustness
+            assert abs(r["p_approx"][i] - e[p]) <= 0.05 * max(abs(e[p]), 1.0), (
+                r["event_type"], r["event_date"], p, r["p_approx"][i], e[p])
