@@ -27,6 +27,23 @@ sys.path.insert(0, REPO)
 BENCH_TURNS = int(os.environ.get("SPARK_GRAFT_BENCH_TURNS", "500000"))
 
 
+def _drain_listener(lst, cap_sec: float = 20.0) -> None:
+    """Listener events are delivered asynchronously on the listener bus —
+    processAllAvailable() does NOT flush it. Summarizing after only the
+    first row describes a partial run (with one fat feed trigger, the
+    feed batch alone: throughput ~4x overstated, watermark fields null).
+    Wait until the row count has been stable for a full second."""
+    t0 = time.perf_counter()
+    last_n, last_change = -1, time.perf_counter()
+    while time.perf_counter() - t0 < cap_sec:
+        n = len(lst.rows)
+        if n != last_n:
+            last_n, last_change = n, time.perf_counter()
+        elif n > 0 and time.perf_counter() - last_change > 1.0:
+            return
+        time.sleep(0.1)
+
+
 def main() -> int:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
@@ -90,18 +107,22 @@ def main() -> int:
         for fn in os.listdir(data):
             os.symlink(os.path.join(data, fn), os.path.join(sdata, fn))
         # throughput configuration, A/B-measured at local[32] on this
-        # input (scripts/tune_stream_bench.py, round 5): trigger 32 files
-        # (2 micro-batches over the 64 input files) beats trigger 16 by
-        # ~1.4x wall (39.5s vs 55.7s) — at 32 cores the per-batch fixed
-        # cost (state-store harness + sink merges) dominates, so fewer,
-        # fatter triggers win; state width 16 vs 32 measured a wash
-        # (39.2 vs 39.5s), width stays pinned to one partition per core.
-        # The local[8] scaling protocol keeps trigger 16 (its own best).
+        # input (scripts/tune_stream_bench.py + profile_stream_residue.py,
+        # round 5): trigger 64 (ONE feed batch over the 64 input files +
+        # one flush batch) beats trigger 32 by ~19% warm (24.2s vs 30.0s)
+        # and trigger 32 beats 16 by ~1.4x — at 32 cores the per-batch
+        # fixed cost (state-store harness, claim joins, sink merges)
+        # dominates, so fewer, fatter triggers win; state width 16 vs 32
+        # measured a wash, width stays pinned to one partition per core.
+        # The local[2]->local[8] scaling protocol keeps trigger 32: the
+        # work trigger 64 removes is perfectly-scaling work, so it helps
+        # wall but trims the measured efficiency margin (0.887 -> 0.851
+        # informal warm steady, BENCH/BASELINE.md round-5 notes).
         spark.conf.set("spark.sql.shuffle.partitions", "32")
         t0 = time.perf_counter()
         q, sinks = run_indexer_stream(
             spark, sdata, os.path.join(sroot, "out"), os.path.join(sroot, "ckpt"),
-            watermark="10 minutes", max_files_per_trigger=32,
+            watermark="10 minutes", max_files_per_trigger=64,
             soft_dedupe_enabled=False,
         )
         q.processAllAvailable()
@@ -113,10 +134,7 @@ def main() -> int:
         # summarize the archive replay BEFORE the trailing probe so the
         # steady-tps / final-lag numbers keep describing the replay itself
         if sinks.query_metrics is not None:
-            for _ in range(50):
-                if sinks.query_metrics.rows:
-                    break
-                time.sleep(0.2)
+            _drain_listener(sinks.query_metrics)
             s = sinks.query_metrics.summary()
             stream_lag = s.get("median_watermark_lag_sec")
             stream_final_lag = s.get("final_watermark_lag_sec")
@@ -153,6 +171,7 @@ def main() -> int:
                 )
                 q.processAllAvailable()
             if sinks.query_metrics is not None:
+                _drain_listener(sinks.query_metrics)
                 fed = [
                     r for r in sinks.query_metrics.rows if r["num_input_rows"]
                 ]

@@ -94,13 +94,42 @@ class ThroughputListener(StreamingQueryListener):
         if not data:
             return {"batches": 0}
         total_rows = sum(r["num_input_rows"] for r in data)
-        total_ms = sum(r["batch_duration_ms"] or 0 for r in data)
-        lags = [r["watermark_lag_sec"] for r in data if r["watermark_lag_sec"] is not None]
-        # steady-state throughput: drop the first data batch, which carries
-        # the one-time stream-startup ramp (Python worker pool, codegen)
-        steady = data[1:] if len(data) > 1 else data
-        steady_rows = sum(r["num_input_rows"] for r in steady)
-        steady_ms = sum(r["batch_duration_ms"] or 0 for r in steady)
+        # WORKING batches, not input-bearing batches: under a watermark, a
+        # trigger's rows are buffered in state and EMITTED by a later
+        # trigger — the final flush batch has numInputRows == 0 but does
+        # the sink work for everything still pending (with one fat feed
+        # trigger it does almost ALL the work). Excluding it from the
+        # denominator overstates throughput, so every batch that moved
+        # the computation counts: input arrived, state changed, or the
+        # watermark advanced. Idle ticks (none of the three) stay out.
+        working, prev_state, prev_wm = [], None, None
+        for r in self.rows:
+            moved = (
+                bool(r["num_input_rows"])
+                or (prev_state is not None and r["state_rows"] != prev_state)
+                or (r["watermark"] is not None and r["watermark"] != prev_wm)
+            )
+            if moved:
+                working.append(r)
+            prev_state, prev_wm = r["state_rows"], r["watermark"]
+        total_ms = sum(r["batch_duration_ms"] or 0 for r in working)
+        # lags over WORKING batches: with one fat feed trigger the only
+        # batch carrying a post-init watermark is the zero-input flush
+        lags = [
+            r["watermark_lag_sec"] for r in working
+            if r["watermark_lag_sec"] is not None
+        ]
+        # No per-batch "steady" decomposition exists under a watermark: a
+        # batch's rows are fed into state in one trigger and emitted by a
+        # LATER one, so no batch window has a consistent rows numerator
+        # (the old data[1:] slice both dropped the flush batch's work time
+        # and skipped its emissions — overstating some shapes, 2x
+        # understating others). steady_rows_per_sec is therefore the
+        # whole-working-window throughput (a slight understatement: the
+        # one-time startup ramp stays in the denominator); run-level
+        # steady numbers — repeat the run, take the post-warm-up minimum —
+        # come from scripts/bench_scaling.py.
+        steady_rows, steady_ms = total_rows, total_ms
         return {
             "batches": len(data),
             "total_rows": total_rows,
@@ -110,14 +139,16 @@ class ThroughputListener(StreamingQueryListener):
                 round(steady_rows / (steady_ms / 1000.0), 1) if steady_ms else None
             ),
             "max_state_rows": max(r["state_rows"] for r in data),
-            "final_watermark": data[-1]["watermark"],
+            "final_watermark": working[-1]["watermark"] if working else None,
             "median_watermark_lag_sec": sorted(lags)[len(lags) // 2] if lags else None,
             # lag once the stream has drained its backlog: watermark delay
             # + the event-time span of the last trigger — the number a
             # caught-up continuous deployment would sit at (the median
             # above is dominated by archive-replay backlog, i.e. trigger
             # size x event-time density of the historical input)
-            "final_watermark_lag_sec": data[-1]["watermark_lag_sec"],
+            "final_watermark_lag_sec": (
+                working[-1]["watermark_lag_sec"] if working else None
+            ),
         }
 
 

@@ -365,6 +365,42 @@ def test_cross_batch_near_dup_caught(spark, tmp_path):
     assert sinks.fingerprints.merge(sinks.fingerprints.read().limit(1), committed) == 0
 
 
+def test_metrics_summary_feed_flush_shape():
+    """summary() must stay honest for single-fat-trigger runs: the
+    zero-input flush batch does (almost) all the emission work, so it
+    belongs in the throughput denominator and carries the only post-init
+    watermark/lag; idle ticks (no input, no state change, no watermark
+    move) stay out."""
+    from dataflow_opinion_analysis_spark.streaming.metrics import (
+        ThroughputListener,
+    )
+
+    def row(bid, n, dur, wm, lag, state):
+        return {
+            "batch_id": bid, "num_input_rows": n,
+            "processed_rows_per_second": 0, "batch_duration_ms": dur,
+            "watermark": wm, "max_event_ts": None,
+            "watermark_lag_sec": lag, "wall_watermark_lag_sec": None,
+            "state_rows": state,
+        }
+
+    lst = ThroughputListener()
+    lst.rows = [
+        row(0, 509000, 16000, None, None, 509000),       # fat feed
+        row(1, 0, 35000, "2024-01-08T00:00:00Z", 600.0, 0),   # flush
+        row(2, 120, 1500, "2024-01-08T00:10:00Z", 660.0, 120),  # trailing
+        row(3, 0, 50, "2024-01-08T00:10:00Z", 660.0, 120),      # idle tick
+    ]
+    s = lst.summary()
+    assert s["batches"] == 2          # input-bearing batches
+    # denominator = feed + flush + trailing (52.5s), NOT just input batches
+    assert abs(s["rows_per_sec"] - 509120 / 52.5) < 1
+    assert s["steady_rows_per_sec"] == s["rows_per_sec"]
+    assert s["median_watermark_lag_sec"] == 660.0
+    assert s["final_watermark_lag_sec"] == 660.0
+    assert s["final_watermark"] == "2024-01-08T00:10:00Z"
+
+
 def test_query_metrics_listener(spark, tmp_path):
     """The throughput/watermark-lag listener is attached by default:
     per-micro-batch records land in out_root/query_metrics.jsonl and
