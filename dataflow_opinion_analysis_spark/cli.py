@@ -27,6 +27,10 @@ Subcommands:
   dataprep-refresh  incremental dataprep: ingest a wave, prep ONLY the
              delta against durable dedup stores, append to the packed
              table (cursor-tracked; incremental == full, gated)
+  dataprep-stream   the same prep chain as a Structured Streaming job:
+             every micro-batch of the documents file stream is one
+             ingest wave + refresh (stream == incremental == batch,
+             tests/test_dataprep_stream.py)
   datagen    deterministic synthetic transcripts generator
 """
 
@@ -94,6 +98,34 @@ def cmd_stream(args) -> int:
             import json
 
             print("query_metrics:", json.dumps(sinks.query_metrics.summary()))
+    else:
+        q.awaitTermination()
+    spark.stop()
+    return 0
+
+
+def cmd_dataprep_stream(args) -> int:
+    """Streaming training-data prep: every micro-batch of the documents
+    file stream is one ingest wave + cursor-tracked refresh of the
+    incremental dataprep stores (streaming/dataprep_stream.py)."""
+    from dataflow_opinion_analysis_spark.streaming.dataprep_stream import (
+        run_dataprep_stream,
+    )
+
+    spark = _spark(args)
+    q, prep = run_dataprep_stream(
+        spark, args.input, args.store, args.checkpoint,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if args.drain:
+        q.processAllAvailable()
+        q.stop()
+        import json
+
+        print(json.dumps({
+            "packed_rows": prep.packed.read().count(),
+            "cursor": prep.cursor(),
+        }))
     else:
         q.awaitTermination()
     spark.stop()
@@ -429,6 +461,20 @@ def main(argv: list[str] | None = None) -> int:
     p.add_argument("--wave", type=int, required=True,
                    help="wave id (MergeTable batch id — replays are fenced)")
     p.set_defaults(fn=cmd_dataprep_refresh)
+
+    p = sub.add_parser("dataprep-stream")
+    p.add_argument("--input", required=True,
+                   help="documents directory watched by the file stream")
+    p.add_argument("--store", required=True,
+                   help="incremental dataprep store root (shared with "
+                        "`dataprep-refresh` — a deployment can alternate "
+                        "nightly waves and a live stream)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--drain", action="store_true",
+                   help="processAllAvailable then exit (tests/batch "
+                        "drains); default runs until terminated")
+    p.set_defaults(fn=cmd_dataprep_stream)
 
     p = sub.add_parser("datagen")
     p.add_argument("--output", required=True)

@@ -376,6 +376,15 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         dataprep_incremental.dataprep_incremental,
         oracles_dataprep.DATAPREP_ORACLES["dataprep_pipeline"],
     )
+    # streaming dataprep: the SAME prep chain as a Structured Streaming
+    # job (one micro-batch per file, durable dedup stores), against the
+    # same full-corpus oracle — stream == incremental == batch
+    from dataflow_opinion_analysis_spark.streaming import dataprep_stream
+
+    reg["dataprep_stream"] = (
+        dataprep_stream.dataprep_stream,
+        oracles_dataprep.DATAPREP_ORACLES["dataprep_pipeline"],
+    )
     for name, fn in curation_fns.items():
         reg[name] = (fn, oracles_curation.CURATION_ORACLES.get(name))
 

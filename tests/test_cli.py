@@ -270,6 +270,40 @@ def test_cli_stream_statsrefresh_maintenance_chain(spark, tmp_path):
     assert len(sinks2.document.retained_versions()) == 1
 
 
+def test_cli_dataprep_stream_drain(spark, tmp_path, capsys):
+    """`cli dataprep-stream --drain` runs the streaming prep over a
+    documents directory and reports the packed store state; the result
+    matches the one-shot pipeline (ordering contract: id-ordered files)."""
+    import json
+
+    from dataflow_opinion_analysis_spark.operators.dataprep_incremental import (
+        IncrementalDataPrep,
+    )
+    from dataflow_opinion_analysis_spark.operators.dataprep_pipeline import (
+        build_dataprep,
+    )
+    from tests.conftest import SF_DIR
+    from tests.test_dataprep_stream import _write_waves
+
+    input_dir = str(tmp_path / "in")
+    _write_waves(input_dir, 0, 10**9, 2)
+    store = str(tmp_path / "store")
+    assert cli.main([
+        "dataprep-stream", "--input", input_dir, "--store", store,
+        "--checkpoint", str(tmp_path / "ckpt"),
+        "--max-files-per-trigger", "1", "--drain",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["packed_rows"] > 0 and out["cursor"]["total_tokens"] > 0
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    packed = IncrementalDataPrep(spark, store).packed.read()
+    full = build_dataprep(spark, docs, materialize=False).packed
+    cols = ["doc_id", "n_tokens", "start_offset", "n_chunks", "scrubbed_hash"]
+    assert packed.count() == out["packed_rows"] == full.count()
+    assert packed.select(cols).exceptAll(full.select(cols)).count() == 0
+
+
 def test_cli_dataprep_refresh_two_waves(spark, tmp_path, capsys):
     """`cli dataprep-refresh` drives the incremental prep loop end to
     end: two ingest+refresh waves append to the packed store and the
