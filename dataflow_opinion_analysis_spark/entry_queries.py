@@ -346,6 +346,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "dedup_embedding_cosine": similarity.dedup_embedding_cosine,
         "similarity_ann_ivf": similarity.similarity_ann_ivf,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
+        "embedding_quantize_pq": similarity.embedding_quantize_pq,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_decode": multimodal.multimodal_decode,

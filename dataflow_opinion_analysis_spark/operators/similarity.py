@@ -511,3 +511,144 @@ SELECT vec_id,
 FROM s2
 """
     )
+
+
+# Product quantization: PQ_M subspaces x PQ_SUB_DIM dims, PQ_K codewords
+# per subspace — the standard 100-TB compression BETWEEN int8 (4x) and
+# IVF coarse lists: 64 doubles -> PQ_M code bytes (64x vs float64) while
+# keeping an ADC-searchable representation. Same fit-then-serve shape as
+# IVF: a deterministic per-subspace k-means (hash-ordered seed VECTORS
+# shared across subspaces, PQ_ITERS Lloyd steps, 6-dp-rounded means) runs
+# as its own tiny query, the PQ_M*PQ_K codeword rows are collected and
+# injected as a literal relation, and the serving plan is one narrow
+# projection + a broadcastable codebook join. Distances use the
+# dot-product decomposition |s-c|^2 = s.s - 2 s.c + c.c so Spark and the
+# DuckDB oracle execute the identical IEEE operation sequence before the
+# 6-dp rounding (the same trick the IVF fit relies on).
+PQ_M = 4
+PQ_SUB_DIM = 16
+PQ_K = 8
+PQ_ITERS = 2
+
+_PQ_DOT = (
+    "aggregate(zip_with({a}, {b}, (x, y) -> x * y), "
+    "cast(0.0 AS double), (acc, x) -> acc + x)"
+)
+
+
+def _pq_dist(a: str, b: str) -> str:
+    """round(|a-b|^2, 6) via the dot decomposition (cross-engine IEEE)."""
+    return (
+        f"round({_PQ_DOT.format(a=a, b=a)} - 2 * {_PQ_DOT.format(a=a, b=b)}"
+        f" + {_PQ_DOT.format(a=b, b=b)}, 6)"
+    )
+
+
+def _pq_fit_sql_spark() -> str:
+    """Per-subspace k-means fit -> (m, code_id, c) rows. Seed codewords =
+    the subvectors of the first PQ_K vectors in hash order (one
+    TakeOrderedAndProject top-k, shared by all subspaces — no per-group
+    global sort); Lloyd steps assign by rounded squared-L2 (code_id
+    tie-break) and recompute 6-dp-rounded elementwise means. A real
+    deployment fits on a bounded sample; the serving path is unchanged."""
+    parts = [
+        f"""sub AS (
+  SELECT vec_id, m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS s
+  FROM v LATERAL VIEW explode(sequence(0, {PQ_M - 1})) t AS m
+)""",
+        f"""seedvec AS (
+  SELECT vec_id, cast(row_number() OVER (ORDER BY (vec_id * {IVF_SEED_MULT}) % 1000003, vec_id) - 1 AS bigint) AS code_id
+  FROM (SELECT vec_id FROM v ORDER BY (vec_id * {IVF_SEED_MULT}) % 1000003, vec_id LIMIT {PQ_K})
+)""",
+        """seed AS (
+  SELECT b.m, sv.code_id, b.s AS c
+  FROM seedvec sv JOIN sub b ON b.vec_id = sv.vec_id
+)""",
+        f"subdims AS (SELECT explode(sequence(0, {PQ_SUB_DIM - 1})) AS d)",
+    ]
+    prev = "seed"
+    for it in range(PQ_ITERS):
+        parts.append(f"""passign{it} AS (
+  SELECT vec_id, m, s, code_id FROM (
+    SELECT a.vec_id, a.m, a.s, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN {prev} c ON c.m = a.m
+  ) WHERE crk = 1
+)""")
+        parts.append(f"""pcent{it + 1} AS (
+  SELECT m, code_id,
+    transform(array_sort(collect_list(named_struct('d', d, 'mx', mx))), s -> s.mx) AS c
+  FROM (
+    SELECT m, code_id, d, round(avg(element_at(s, d + 1)), 6) AS mx
+    FROM passign{it} CROSS JOIN subdims
+    GROUP BY m, code_id, d
+  )
+  GROUP BY m, code_id
+)""")
+        prev = f"pcent{it + 1}"
+    ctes = ",\n".join(parts)
+    return f"""
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+),
+{ctes}
+SELECT m, code_id, c FROM pcent{PQ_ITERS}
+"""
+
+
+def pq_fit_codebooks(
+    spark: SparkSession, sf_dir: str
+) -> list[tuple[int, int, list[float]]]:
+    """Run the deterministic per-subspace fit; returns (m, code_id, c)
+    sorted — PQ_M * PQ_K rows, bounded at any input scale."""
+    _emb(spark, sf_dir)
+    rows = spark.sql(_pq_fit_sql_spark()).collect()
+    return sorted(
+        (int(r.m), int(r.code_id), [float(x) for x in r.c]) for r in rows
+    )
+
+
+def _pq_book_literal_sql(books) -> str:
+    vals = ", ".join(
+        f"(cast({m} AS int), cast({cid} AS bigint), "
+        f"array({', '.join(repr(x) for x in vec)}))"
+        for m, cid, vec in books
+    )
+    return f"SELECT m, code_id, c FROM (VALUES {vals}) AS t(m, code_id, c)"
+
+
+def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Serve the trained product quantizer: every vector's {PQ_M}
+    subvectors are assigned their nearest codeword (rounded squared-L2
+    argmin, code_id tie-break); returns the code string plus the rounded
+    total reconstruction error. The codebook is a {PQ_M}x{PQ_K}-row
+    literal relation (broadcasts); the scan-side work is one narrow
+    projection + the subspace explode — no wide shuffle anywhere."""
+    books = pq_fit_codebooks(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS s
+  FROM v LATERAL VIEW explode(sequence(0, {PQ_M - 1})) t AS m
+),
+book AS ({_pq_book_literal_sql(books)}),
+assigned AS (
+  SELECT vec_id, m, code_id, dist FROM (
+    SELECT a.vec_id, a.m, c.code_id, {_pq_dist('a.s', 'c.c')} AS dist,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN book c ON c.m = a.m
+  ) WHERE crk = 1
+)
+SELECT vec_id,
+  array_join(transform(array_sort(collect_list(named_struct('m', m, 'cid', code_id))),
+                       s -> cast(s.cid AS string)), ',') AS codes_str,
+  round(sum(dist), 6) AS recon_err_r6
+FROM assigned
+GROUP BY vec_id
+"""
+    )

@@ -601,6 +601,80 @@ SELECT vec_id,
 FROM s2
 """
 
+
+
+# product quantization — DuckDB mirror of
+# operators/similarity.embedding_quantize_pq: the per-subspace k-means
+# fit CTEs re-derived in DuckDB (same seed ordering, same 6-dp-rounded
+# Lloyd means) and the same dot-decomposition squared-L2 assignment, so
+# codes and reconstruction errors agree bit-for-bit after rounding.
+def _pq_dist_duck(a: str, b: str) -> str:
+    return (
+        f"round(list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b})"
+        f" + list_dot_product({b}, {b}), 6)"
+    )
+
+
+def _pq_ctes_duck() -> str:
+    m_last = similarity.PQ_M - 1
+    parts = [
+        f"""sub AS (
+  SELECT vec_id, m, v[m * {similarity.PQ_SUB_DIM} + 1 : (m + 1) * {similarity.PQ_SUB_DIM}] AS s
+  FROM v CROSS JOIN (SELECT unnest(generate_series(0, {m_last})) AS m)
+)""",
+        f"""seedvec AS (
+  SELECT vec_id, cast(row_number() OVER (ORDER BY (vec_id * {similarity.IVF_SEED_MULT}) % 1000003, vec_id) - 1 AS bigint) AS code_id
+  FROM (SELECT vec_id FROM v ORDER BY (vec_id * {similarity.IVF_SEED_MULT}) % 1000003, vec_id LIMIT {similarity.PQ_K})
+)""",
+        """seed AS (
+  SELECT b.m, sv.code_id, b.s AS c
+  FROM seedvec sv JOIN sub b ON b.vec_id = sv.vec_id
+)""",
+        f"subdims AS (SELECT unnest(generate_series(0, {similarity.PQ_SUB_DIM - 1})) AS d)",
+    ]
+    prev = "seed"
+    for it in range(similarity.PQ_ITERS):
+        parts.append(f"""passign{it} AS (
+  SELECT vec_id, m, s, code_id FROM (
+    SELECT a.vec_id, a.m, a.s, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist_duck('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN {prev} c ON c.m = a.m
+  ) WHERE crk = 1
+)""")
+        parts.append(f"""pcent{it + 1} AS (
+  SELECT m, code_id, list(mx ORDER BY d) AS c
+  FROM (
+    SELECT m, code_id, d, round(avg(s[d + 1]), 6) AS mx
+    FROM passign{it} CROSS JOIN subdims
+    GROUP BY m, code_id, d
+  )
+  GROUP BY m, code_id
+)""")
+        prev = f"pcent{it + 1}"
+    return ",\n".join(parts)
+
+
+EMBEDDING_QUANTIZE_PQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_pq_ctes_duck()},
+assigned AS (
+  SELECT vec_id, m, code_id, dist FROM (
+    SELECT a.vec_id, a.m, c.code_id, {_pq_dist_duck('a.s', 'c.c')} AS dist,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist_duck('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN pcent{similarity.PQ_ITERS} c ON c.m = a.m
+  ) WHERE crk = 1
+)
+SELECT vec_id,
+  array_to_string(list(CAST(code_id AS VARCHAR) ORDER BY m), ',') AS codes_str,
+  round(sum(dist), 6) AS recon_err_r6
+FROM assigned
+GROUP BY vec_id
+"""
+
 # the composed pipeline: ONE DuckDB chain mirroring
 # operators/dataprep_pipeline.build_dataprep stage for stage
 # (quality+lang filter -> exact dedup -> MinHash near-dedup losers
@@ -834,4 +908,5 @@ DATAPREP_ORACLES: dict[str, str] = {
     "similarity_ann_ivf": SIMILARITY_ANN_IVF_SQL,
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
+    "embedding_quantize_pq": EMBEDDING_QUANTIZE_PQ_SQL,
 }

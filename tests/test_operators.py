@@ -365,3 +365,41 @@ def test_percentile_sketch_brackets_exact(spark):
             # exact neighbours; generous absolute guard for robustness
             assert abs(r["p_approx"][i] - e[p]) <= 0.05 * max(abs(e[p]), 1.0), (
                 r["event_type"], r["event_date"], p, r["p_approx"][i], e[p])
+
+
+def test_pq_codebooks_balanced_and_reconstructive(spark):
+    """Product quantization invariants: every (subspace, codeword) slot is
+    trained (PQ_M x PQ_K rows, 16-dim each), every subspace actually uses
+    several codewords (an untrained/collapsed codebook would funnel all
+    vectors through one code), and the trained reconstruction beats the
+    subspace-mean baseline — i.e. the codes carry information, which is
+    what makes the 64x compression usable for ADC search."""
+    import numpy as np
+
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    books = similarity.pq_fit_codebooks(spark, "/root/testdata/sf0.001")
+    assert len(books) == similarity.PQ_M * similarity.PQ_K
+    assert all(len(c) == similarity.PQ_SUB_DIM for _, _, c in books)
+
+    out = similarity.embedding_quantize_pq(
+        spark, "/root/testdata/sf0.001"
+    ).toPandas().sort_values("vec_id").reset_index(drop=True)
+    emb = (
+        spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+        .orderBy("vec_id").toPandas()
+    )
+    assert len(out) == len(emb)
+    codes = out["codes_str"].str.split(",", expand=True).astype(int)
+    for m in range(similarity.PQ_M):
+        used = codes[m].nunique()
+        assert used >= similarity.PQ_K // 2, (m, used)
+
+    # reconstruction must beat the one-centroid baseline (quantizing every
+    # subvector to the subspace mean == total variance around the mean)
+    vecs = np.stack(emb["embedding"].map(np.asarray, na_action=None)).astype(
+        np.float64
+    )
+    baseline = float(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1).mean())
+    got = float(out["recon_err_r6"].mean())
+    assert 0.0 < got < baseline, (got, baseline)

@@ -120,9 +120,13 @@ def test_ivf_and_cosine_dedup_plans_clean(spark):
     # The multi-band cosine dedup's serving plan has NO BNL at all since
     # round 5: the 1-row `planes` constant is consumed while building the
     # checkpointed signature relation, before the self-join.
+    # PQ serve: the 32-row codebook is an equi-join on the subspace id
+    # (BroadcastHashJoin, zero BNL); exchanges are the (vec_id, m)
+    # assignment window + the final per-vector rollup only.
     for fn, max_bnl in (
         (similarity.similarity_ann_ivf, 3),
         (similarity.dedup_embedding_cosine, 0),
+        (similarity.embedding_quantize_pq, 0),
     ):
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
