@@ -347,6 +347,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "similarity_ann_ivf": similarity.similarity_ann_ivf,
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "embedding_quantize_pq": similarity.embedding_quantize_pq,
+        "similarity_ann_pq_adc": similarity.similarity_ann_pq_adc,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_decode": multimodal.multimodal_decode,

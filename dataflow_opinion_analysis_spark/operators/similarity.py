@@ -652,3 +652,57 @@ FROM assigned
 GROUP BY vec_id
 """
     )
+
+
+def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN via PQ + asymmetric distance computation — the serving path
+    product quantization exists for: queries stay float, the database
+    side is only its {PQ_M} codes. Per query the distance table (query
+    subvector x codeword: {PQ_M}*{PQ_K} rows) is computed once; database
+    distances are then a LUT join on (m, code_id) + a per-(query, vec)
+    sum — every join an equi-join, the LUT side {N_QUERIES}*{PQ_M}*{PQ_K}
+    rows and broadcastable by construction. At 100 TB the codes relation
+    is the only full-table scan (1/64th the bytes of the float64 table)
+    and the shuffle key is (query_id, vec_id) partial sums — no all-pairs
+    float math anywhere. Top-{ANN_TOP_K} per query by rounded ADC
+    distance, vec_id tie-break."""
+    books = pq_fit_codebooks(spark, sf_dir)
+    return spark.sql(
+        f"""
+WITH v AS (
+  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+),
+sub AS (
+  SELECT vec_id, m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS s
+  FROM v LATERAL VIEW explode(sequence(0, {PQ_M - 1})) t AS m
+),
+book AS ({_pq_book_literal_sql(books)}),
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT a.vec_id, a.m, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN book c ON c.m = a.m
+  ) WHERE crk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code_id, {_pq_dist('q.s', 'c.c')} AS d
+  FROM sub q JOIN book c ON c.m = q.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id, round(sum(l.d), 6) AS adc_dist
+  FROM codes x
+  JOIN lut l ON l.m = x.m AND l.code_id = x.code_id
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, rk
+FROM ranked WHERE rk <= {ANN_TOP_K}
+"""
+    )

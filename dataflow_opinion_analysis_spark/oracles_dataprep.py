@@ -675,6 +675,40 @@ FROM assigned
 GROUP BY vec_id
 """
 
+SIMILARITY_ANN_PQ_ADC_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_pq_ctes_duck()},
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT a.vec_id, a.m, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist_duck('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN pcent{similarity.PQ_ITERS} c ON c.m = a.m
+  ) WHERE crk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code_id, {_pq_dist_duck('q.s', 'c.c')} AS d
+  FROM sub q JOIN pcent{similarity.PQ_ITERS} c ON c.m = q.m
+  WHERE q.vec_id < {similarity.N_QUERIES}
+),
+adc AS (
+  SELECT l.query_id, x.vec_id AS neighbor_id, round(sum(l.d), 6) AS adc_dist
+  FROM codes x
+  JOIN lut l ON l.m = x.m AND l.code_id = x.code_id
+  WHERE x.vec_id <> l.query_id
+  GROUP BY l.query_id, x.vec_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+SELECT query_id, neighbor_id, adc_dist, rk
+FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
+"""
+
 # the composed pipeline: ONE DuckDB chain mirroring
 # operators/dataprep_pipeline.build_dataprep stage for stage
 # (quality+lang filter -> exact dedup -> MinHash near-dedup losers
@@ -909,4 +943,5 @@ DATAPREP_ORACLES: dict[str, str] = {
     "multimodal_metadata": MULTIMODAL_METADATA_SQL,
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
     "embedding_quantize_pq": EMBEDDING_QUANTIZE_PQ_SQL,
+    "similarity_ann_pq_adc": SIMILARITY_ANN_PQ_ADC_SQL,
 }

@@ -403,3 +403,49 @@ def test_pq_codebooks_balanced_and_reconstructive(spark):
     baseline = float(((vecs - vecs.mean(axis=0)) ** 2).sum(axis=1).mean())
     got = float(out["recon_err_r6"].mean())
     assert 0.0 < got < baseline, (got, baseline)
+
+
+def test_pq_adc_matches_numpy_reconstruction(spark):
+    """ADC plumbing: for every (query, neighbor) in the top-k output, the
+    reported distance must equal the numpy-computed sum over subspaces of
+    |query_sub - codeword(neighbor's code)|^2 (within rounding), and the
+    per-query ranking must follow it — i.e. the LUT join + partial-sum
+    really computes asymmetric PQ distance."""
+    import numpy as np
+
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    books = {(m, cid): np.asarray(c, dtype=np.float64)
+             for m, cid, c in similarity.pq_fit_codebooks(spark, sf)}
+    codes = similarity.embedding_quantize_pq(spark, sf).toPandas()
+    code_of = {
+        int(r.vec_id): [int(x) for x in r.codes_str.split(",")]
+        for r in codes.itertuples()
+    }
+    emb = (
+        spark.read.parquet(f"{sf}/embeddings.parquet")
+        .filter(f"vec_id < {similarity.N_QUERIES}").toPandas()
+    )
+    qvec = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    out = similarity.similarity_ann_pq_adc(spark, sf).toPandas()
+    assert len(out) == similarity.N_QUERIES * similarity.ANN_TOP_K
+    d = similarity.PQ_SUB_DIM
+    for r in out.itertuples():
+        q = qvec[int(r.query_id)]
+        want = sum(
+            round(
+                float(q[m * d:(m + 1) * d] @ q[m * d:(m + 1) * d])
+                - 2 * float(q[m * d:(m + 1) * d] @ books[(m, cid)])
+                + float(books[(m, cid)] @ books[(m, cid)]),
+                6,
+            )
+            for m, cid in enumerate(code_of[int(r.neighbor_id)])
+        )
+        assert abs(float(r.adc_dist) - round(want, 6)) < 2e-5, r
+    # ranking follows the distance within each query
+    for _, grp in out.groupby("query_id"):
+        grp = grp.sort_values("rk")
+        assert (grp["adc_dist"].diff().dropna() >= 0).all()

@@ -127,6 +127,7 @@ def test_ivf_and_cosine_dedup_plans_clean(spark):
         (similarity.similarity_ann_ivf, 3),
         (similarity.dedup_embedding_cosine, 0),
         (similarity.embedding_quantize_pq, 0),
+        (similarity.similarity_ann_pq_adc, 0),
     ):
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
