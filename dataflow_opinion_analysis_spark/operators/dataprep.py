@@ -439,6 +439,103 @@ SELECT doc_id, token, tf, df, tfidf, rk FROM ranked WHERE rk <= {TFIDF_TOP_K}
     )
 
 
+BM25_TOP_K = 10
+BM25_N_QUERIES = 8
+# prune query terms appearing in more than this % of the corpus (the
+# WAND-family stopword cut that keeps the posting join from exploding on
+# hot terms at scale). The synthetic corpus has a 31-token vocabulary
+# with df up to ~80% of docs, so the test-scale default is high enough
+# to be inert there while the mechanism stays real.
+BM25_DF_CAP_PCT = 90
+
+
+def _bm25_contribution(tf: str, df: str, dl: str, n: str, avgdl: str) -> str:
+    """One query-term's BM25 contribution, micro-scaled to BIGINT.
+
+    Written so every floating-point step is an IEEE correctly-rounded
+    op on identical inputs in both engines (int +/- and 0.5/0.75/1.2
+    literals are exact; each divide/multiply is correctly rounded), and
+    the per-term double is then floored to integer micros — so the
+    per-(query,doc) SUM is an exact integer sum, immune to the
+    addend-order divergence that makes cross-engine SUM(double)
+    comparisons flaky. idf uses the classic Robertson ratio
+    (n - df + 0.5)/(df + 0.5) WITHOUT the log wrapper: libm ln() is
+    not correctly rounded and diverges between engines at the last ulp
+    (the same documented deviation as text_tfidf_keywords); k1=1.2,
+    b=0.75."""
+    D = "CAST({} AS DOUBLE)".format
+    idf = (
+        f"(({D(n)} - {D(df)} + {D('0.5')}) / ({D(df)} + {D('0.5')}))"
+    )
+    tfpart = (
+        f"(({D(tf)} * {D('2.2')}) / "
+        f"({D(tf)} + {D('1.2')} * ({D('0.25')} + {D('0.75')} * ({D(dl)} / {avgdl}))))"
+    )
+    return f"CAST(floor({idf} * {tfpart} * {D('1000000')}) AS BIGINT)"
+
+
+def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 lexical retrieval: the first {BM25_N_QUERIES} documents are
+    more-like-this queries (their distinct tokens are the query terms);
+    every other document is scored by BM25 (k1=1.2, b=0.75, ratio idf —
+    see _bm25_contribution) and the top-{BM25_TOP_K} matches per query
+    are returned, score tie-broken by doc_id. Search is the reference's
+    serving surface (vwSentiment4Search7d feeds a search UI); this is
+    the retrieval primitive itself.
+
+    Scale: tf is ONE hash agg over the token explode (map-side
+    combined); df/dl both derive from tf — no second pass over text; the
+    query-term relation is tiny (queries x vocab) and broadcasts into
+    the posting join on token; hot terms are pruned by the
+    {BM25_DF_CAP_PCT}% df cap before the join (the blowup guard — a
+    term in every document would otherwise join queries x corpus); the
+    per-(query, doc) sum is a hash agg on the join output, partial
+    map-side; corpus size and avgdl are scalar subqueries (no 1-row
+    cross join, no BroadcastNestedLoopJoin)."""
+    _docs(spark, sf_dir)
+    n_sq = "(SELECT CAST(count(*) AS BIGINT) FROM documents)"
+    avgdl_sq = "(SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)"
+    return spark.sql(
+        f"""
+WITH toks AS (
+  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, count(*) AS df FROM tf GROUP BY token
+),
+dl AS (
+  SELECT doc_id, sum(tf) AS dl FROM tf GROUP BY doc_id
+),
+qterms AS (
+  SELECT doc_id AS query_id, token FROM tf WHERE doc_id < {BM25_N_QUERIES}
+),
+hits AS (
+  SELECT q.query_id, t.doc_id,
+    {_bm25_contribution('t.tf', 'df.df', 'dl.dl', n_sq, avgdl_sq)} AS c
+  FROM qterms q
+  JOIN df ON df.token = q.token
+  JOIN tf t ON t.token = q.token AND t.doc_id <> q.query_id
+  JOIN dl ON dl.doc_id = t.doc_id
+  WHERE df.df * 100 <= {n_sq} * {BM25_DF_CAP_PCT}
+),
+scored AS (
+  SELECT query_id, doc_id, sum(c) AS score_micro, count(*) AS n_terms
+  FROM hits GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id AS match_doc_id, score_micro, n_terms, rk
+FROM ranked WHERE rk <= {BM25_TOP_K}
+"""
+    )
+
+
 CLASSIFIER_BUCKETS = 1024
 # fixed multiplicative-hash weights (Knuth constant): a deterministic
 # stand-in for trained weights — the served artifact of a hashed linear

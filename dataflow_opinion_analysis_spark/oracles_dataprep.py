@@ -249,6 +249,49 @@ FROM bucketed
 GROUP BY doc_id
 """
 
+TEXT_BM25_SQL = f"""
+WITH toks AS (
+  SELECT doc_id, unnest({DUCK_TOKENS}) AS token FROM documents
+),
+tf AS (
+  SELECT doc_id, token, cast(count(*) AS bigint) AS tf
+  FROM toks GROUP BY doc_id, token
+),
+df AS (
+  SELECT token, cast(count(*) AS bigint) AS df FROM tf GROUP BY token
+),
+dl AS (
+  SELECT doc_id, cast(sum(tf) AS bigint) AS dl FROM tf GROUP BY doc_id
+),
+qterms AS (
+  SELECT doc_id AS query_id, token FROM tf WHERE doc_id < {dataprep.BM25_N_QUERIES}
+),
+hits AS (
+  SELECT q.query_id, t.doc_id,
+    {dataprep._bm25_contribution(
+        't.tf', 'df.df', 'dl.dl',
+        '(SELECT CAST(count(*) AS BIGINT) FROM documents)',
+        '(SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)')} AS c
+  FROM qterms q
+  JOIN df ON df.token = q.token
+  JOIN tf t ON t.token = q.token AND t.doc_id <> q.query_id
+  JOIN dl ON dl.doc_id = t.doc_id
+  WHERE df.df * 100 <= (SELECT CAST(count(*) AS BIGINT) FROM documents) * {dataprep.BM25_DF_CAP_PCT}
+),
+scored AS (
+  SELECT query_id, doc_id, cast(sum(c) AS bigint) AS score_micro,
+         cast(count(*) AS bigint) AS n_terms
+  FROM hits GROUP BY query_id, doc_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+      PARTITION BY query_id ORDER BY score_micro DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, doc_id AS match_doc_id, score_micro, n_terms, rk
+FROM ranked WHERE rk <= {dataprep.BM25_TOP_K}
+"""
+
 TFIDF_K = dataprep.TFIDF_TOP_K
 TEXT_TFIDF_SQL = f"""
 WITH toks AS (
@@ -944,4 +987,5 @@ DATAPREP_ORACLES: dict[str, str] = {
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
     "embedding_quantize_pq": EMBEDDING_QUANTIZE_PQ_SQL,
     "similarity_ann_pq_adc": SIMILARITY_ANN_PQ_ADC_SQL,
+    "text_bm25_topk": TEXT_BM25_SQL,
 }

@@ -449,3 +449,52 @@ def test_pq_adc_matches_numpy_reconstruction(spark):
     for _, grp in out.groupby("query_id"):
         grp = grp.sort_values("rk")
         assert (grp["adc_dist"].diff().dropna() >= 0).all()
+
+
+def test_bm25_matches_pure_python(spark):
+    """text_bm25_topk vs an independent dict-based BM25 (same tokenizer,
+    ratio idf, k1=1.2, b=0.75, per-term micro-flooring): the top-k sets,
+    scores, and ranks must agree exactly at sf0.001."""
+    import math
+    import re as _re
+    from collections import Counter
+
+    from dataflow_opinion_analysis_spark.operators import dataprep
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    toks = {
+        int(r.doc_id): _re.findall(r"[a-z0-9']+", (r.text or "").lower())
+        for r in docs.itertuples()
+    }
+    tf = {d: Counter(ts) for d, ts in toks.items()}
+    df = Counter(t for c in tf.values() for t in c)
+    n = len(toks)
+    dl = {d: sum(c.values()) for d, c in tf.items()}
+    avgdl = float(sum(dl.values())) / n
+
+    def score(qid: int, did: int) -> tuple[int, int]:
+        s, terms = 0, 0
+        for t in tf[qid]:
+            if t not in tf[did] or df[t] * 100 > n * dataprep.BM25_DF_CAP_PCT:
+                continue
+            idf = (n - df[t] + 0.5) / (df[t] + 0.5)
+            f = tf[did][t]
+            part = (f * 2.2) / (f + 1.2 * (0.25 + 0.75 * (dl[did] / avgdl)))
+            s += int(math.floor(idf * part * 1e6))
+            terms += 1
+        return s, terms
+
+    got = dataprep.text_bm25_topk(spark, sf).toPandas()
+    for qid, grp in got.groupby("query_id"):
+        qid = int(qid)
+        want = sorted(
+            ((score(qid, d)[0], d) for d in toks if d != qid),
+            key=lambda p: (-p[0], p[1]),
+        )[: dataprep.BM25_TOP_K]
+        grp = grp.sort_values("rk")
+        assert [int(x) for x in grp["match_doc_id"]] == [d for _, d in want]
+        assert [int(x) for x in grp["score_micro"]] == [s for s, _ in want]
+        for r in grp.itertuples():
+            assert int(r.n_terms) == score(qid, int(r.match_doc_id))[1]

@@ -83,6 +83,7 @@ def test_dedup_and_text_plans_clean(spark):
         ("dedup_ngram_jaccard", dataprep.dedup_ngram_jaccard),
         ("dedup_minhash_lsh", dataprep.dedup_minhash_lsh),
         ("dedup_simhash", dataprep.dedup_simhash),
+        ("text_bm25_topk", dataprep.text_bm25_topk),
     ):
         assert_clean(fn(spark, SF_DIR), name)
 
