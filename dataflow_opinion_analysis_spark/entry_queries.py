@@ -349,6 +349,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "embedding_quantize_int8": similarity.embedding_quantize_int8,
         "embedding_quantize_pq": similarity.embedding_quantize_pq,
         "similarity_ann_pq_adc": similarity.similarity_ann_pq_adc,
+        "similarity_ann_ivf_pq": similarity.similarity_ann_ivf_pq,
         "multimodal_metadata": multimodal.multimodal_metadata,
         "multimodal_features": multimodal.multimodal_features,
         "multimodal_decode": multimodal.multimodal_decode,

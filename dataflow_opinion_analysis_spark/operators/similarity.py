@@ -706,3 +706,70 @@ SELECT query_id, neighbor_id, adc_dist, rk
 FROM ranked WHERE rk <= {ANN_TOP_K}
 """
     )
+
+
+def similarity_ann_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF + PQ composed — the textbook billion-scale ANN serving
+    architecture (FAISS ``IVF,PQ`` with by_residual=False: codes are PQ
+    over the raw vectors, not list residuals — the residual variant only
+    changes the codebook fit, not this serving plan). The coarse
+    quantizer prunes the corpus to the query's {IVF_NPROBE} probed lists;
+    the fine ranking is asymmetric PQ distance over ONLY those
+    candidates. At 100 TB this is the plan that works: the codes
+    relation (1/64th the float bytes) is partitioned BY cent_id so a
+    probe reads just its lists (partition pruning on the equi-join key),
+    the LUT is {N_QUERIES}*{PQ_M}*{PQ_K} rows (broadcast), and no float
+    vector math touches the corpus at query time. Both fits are
+    fit-then-serve literal relations (the repo's IVF pattern), so the
+    serving query is pure equi-joins."""
+    cents = ivf_fit_centroids(spark, sf_dir)
+    books = pq_fit_codebooks(spark, sf_dir)
+    return spark.sql(
+        f"""{_ivf_serve_prefix(cents)},
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS probe_cent FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored WHERE vec_id < {N_QUERIES}
+  ) WHERE crk <= {IVF_NPROBE}
+),
+sub AS (
+  SELECT vec_id, m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS s
+  FROM v LATERAL VIEW explode(sequence(0, {PQ_M - 1})) t AS m
+),
+book AS ({_pq_book_literal_sql(books)}),
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT a.vec_id, a.m, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN book c ON c.m = a.m
+  ) WHERE crk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code_id, {_pq_dist('q.s', 'c.c')} AS d
+  FROM sub q JOIN book c ON c.m = q.m
+  WHERE q.vec_id < {N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.cent_id
+  FROM probes p
+  JOIN assigned x ON x.cent_id = p.probe_cent
+  WHERE x.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, c.cent_id, round(sum(l.d), 6) AS adc_dist
+  FROM cand c
+  JOIN codes x ON x.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = x.m AND l.code_id = x.code_id
+  GROUP BY c.query_id, c.neighbor_id, c.cent_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+SELECT query_id, neighbor_id, cent_id, adc_dist, rk
+FROM ranked WHERE rk <= {ANN_TOP_K}
+"""
+    )

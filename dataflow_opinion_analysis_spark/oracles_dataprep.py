@@ -669,13 +669,16 @@ def _pq_ctes_duck() -> str:
   SELECT vec_id, cast(row_number() OVER (ORDER BY (vec_id * {similarity.IVF_SEED_MULT}) % 1000003, vec_id) - 1 AS bigint) AS code_id
   FROM (SELECT vec_id FROM v ORDER BY (vec_id * {similarity.IVF_SEED_MULT}) % 1000003, vec_id LIMIT {similarity.PQ_K})
 )""",
-        """seed AS (
+        # named pseed (not seed): the composed IVF+PQ oracle runs this
+        # helper in the same WITH chain as _ivf_kmeans_ctes_duck, which
+        # already owns `seed`
+        """pseed AS (
   SELECT b.m, sv.code_id, b.s AS c
   FROM seedvec sv JOIN sub b ON b.vec_id = sv.vec_id
 )""",
         f"subdims AS (SELECT unnest(generate_series(0, {similarity.PQ_SUB_DIM - 1})) AS d)",
     ]
-    prev = "seed"
+    prev = "pseed"
     for it in range(similarity.PQ_ITERS):
         parts.append(f"""passign{it} AS (
   SELECT vec_id, m, s, code_id FROM (
@@ -749,6 +752,66 @@ ranked AS (
   FROM adc
 )
 SELECT query_id, neighbor_id, adc_dist, rk
+FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
+"""
+
+SIMILARITY_ANN_IVF_PQ_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_ivf_kmeans_ctes_duck()},
+scored AS (
+  SELECT a.vec_id, a.v, s.cent_id,
+    round(list_dot_product(a.v, s.c)
+      / ({_NORM.format(c='a')} * sqrt(list_dot_product(s.c, s.c))), 6) AS ccos
+  FROM v a CROSS JOIN cent{similarity.IVF_ITERS} s
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored
+  ) WHERE crk = 1
+),
+probes AS (
+  SELECT vec_id AS query_id, cent_id AS probe_cent FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored WHERE vec_id < {similarity.N_QUERIES}
+  ) WHERE crk <= {similarity.IVF_NPROBE}
+),
+{_pq_ctes_duck()},
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT a.vec_id, a.m, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist_duck('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN pcent{similarity.PQ_ITERS} c ON c.m = a.m
+  ) WHERE crk = 1
+),
+lut AS (
+  SELECT q.vec_id AS query_id, c.m, c.code_id, {_pq_dist_duck('q.s', 'c.c')} AS d
+  FROM sub q JOIN pcent{similarity.PQ_ITERS} c ON c.m = q.m
+  WHERE q.vec_id < {similarity.N_QUERIES}
+),
+cand AS (
+  SELECT p.query_id, x.vec_id AS neighbor_id, x.cent_id
+  FROM probes p
+  JOIN assigned x ON x.cent_id = p.probe_cent
+  WHERE x.vec_id <> p.query_id
+),
+adc AS (
+  SELECT c.query_id, c.neighbor_id, c.cent_id, round(sum(l.d), 6) AS adc_dist
+  FROM cand c
+  JOIN codes x ON x.vec_id = c.neighbor_id
+  JOIN lut l ON l.query_id = c.query_id AND l.m = x.m AND l.code_id = x.code_id
+  GROUP BY c.query_id, c.neighbor_id, c.cent_id
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist, neighbor_id) AS rk
+  FROM adc
+)
+SELECT query_id, neighbor_id, cent_id, adc_dist, rk
 FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
 """
 
@@ -987,5 +1050,6 @@ DATAPREP_ORACLES: dict[str, str] = {
     "embedding_quantize_int8": EMBEDDING_QUANTIZE_INT8_SQL,
     "embedding_quantize_pq": EMBEDDING_QUANTIZE_PQ_SQL,
     "similarity_ann_pq_adc": SIMILARITY_ANN_PQ_ADC_SQL,
+    "similarity_ann_ivf_pq": SIMILARITY_ANN_IVF_PQ_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,
 }

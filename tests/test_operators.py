@@ -498,3 +498,69 @@ def test_bm25_matches_pure_python(spark):
         assert [int(x) for x in grp["score_micro"]] == [s for s, _ in want]
         for r in grp.itertuples():
             assert int(r.n_terms) == score(qid, int(r.match_doc_id))[1]
+
+
+def test_ivf_pq_equals_python_composition(spark):
+    """similarity_ann_ivf_pq == (probe the IVF lists) ∘ (rank by ADC):
+    recompute the candidate set from similarity_ivf_assignments + the
+    query probes, the ADC distances from the PQ codes + codebooks, take
+    top-k in python, and require the exact same (neighbor, dist, rank)
+    lists per query."""
+    import numpy as np
+
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    sf = "/root/testdata/sf0.001"
+    books = {(m, cid): np.asarray(c, dtype=np.float64)
+             for m, cid, c in similarity.pq_fit_codebooks(spark, sf)}
+    codes = {
+        int(r.vec_id): [int(x) for x in r.codes_str.split(",")]
+        for r in similarity.embedding_quantize_pq(spark, sf).toPandas().itertuples()
+    }
+    assigns = {
+        int(r.vec_id): int(r.cent_id)
+        for r in similarity_ivf_assignments_df(spark, sf).itertuples()
+    }
+    cents = similarity.ivf_fit_centroids(spark, sf)
+    emb = spark.read.parquet(f"{sf}/embeddings.parquet").toPandas()
+    vecs = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+            for r in emb.itertuples()}
+
+    def probe_lists(q):
+        scored = []
+        for cid, c in cents:
+            c = np.asarray(c, dtype=np.float64)
+            cos = round(float(vecs[q] @ c)
+                        / (float(np.sqrt(vecs[q] @ vecs[q]))
+                           * float(np.sqrt(c @ c))), 6)
+            scored.append((-cos, cid))
+        return [cid for _, cid in sorted(scored)[: similarity.IVF_NPROBE]]
+
+    d = similarity.PQ_SUB_DIM
+
+    def adc(q, n):
+        qv = vecs[q]
+        tot = 0.0
+        for m, cid in enumerate(codes[n]):
+            s = qv[m * d:(m + 1) * d]
+            c = books[(m, cid)]
+            tot += round(float(s @ s) - 2 * float(s @ c) + float(c @ c), 6)
+        return round(tot, 6)
+
+    got = similarity.similarity_ann_ivf_pq(spark, sf).toPandas()
+    for qid, grp in got.groupby("query_id"):
+        qid = int(qid)
+        lists = set(probe_lists(qid))
+        cand = [v for v, cid in assigns.items() if cid in lists and v != qid]
+        want = sorted(((adc(qid, n), n) for n in cand))[: similarity.ANN_TOP_K]
+        grp = grp.sort_values("rk")
+        assert [int(x) for x in grp["neighbor_id"]] == [n for _, n in want], qid
+        for r, (dist, _) in zip(grp.itertuples(), want):
+            assert abs(float(r.adc_dist) - dist) < 2e-5
+            assert assigns[int(r.neighbor_id)] == int(r.cent_id)
+
+
+def similarity_ivf_assignments_df(spark, sf):
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    return similarity.similarity_ivf_assignments(spark, sf).toPandas()

@@ -129,6 +129,9 @@ def test_ivf_and_cosine_dedup_plans_clean(spark):
         (similarity.dedup_embedding_cosine, 0),
         (similarity.embedding_quantize_pq, 0),
         (similarity.similarity_ann_pq_adc, 0),
+        # ivf_pq shares similarity_ann_ivf's coarse stage, so the same
+        # 8-row centroid constant appears as a BNL per `scored` reference
+        (similarity.similarity_ann_ivf_pq, 3),
     ):
         plan = plan_of(fn(spark, SF_DIR))
         assert "CartesianProduct" not in plan, fn.__name__
