@@ -383,13 +383,27 @@ SELECT cent_id, c FROM cent{IVF_ITERS}
 """
 
 
+# fit-once-serve-many: the trained quantizers are deterministic functions
+# of (session, sf_dir), and three serving queries each (IVF: ann_ivf /
+# ivf_assignments / ivf_pq; PQ: quantize_pq / pq_adc / ivf_pq) need them —
+# re-running the k-means chain per query would triple the fit cost, which
+# is exactly what a real deployment's model registry avoids. Keyed by
+# session id so a new session (or test fixture) refits.
+_FIT_CACHE: dict[tuple, object] = {}
+
+
 def ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[float]]]:
     """Run the deterministic k-means fit; returns the trained centroids
     sorted by cent_id. The collect is {IVF_CENTROIDS} rows — bounded at
-    any input scale."""
-    _emb(spark, sf_dir)
-    rows = spark.sql(_ivf_fit_sql_spark()).collect()
-    return sorted((int(r.cent_id), [float(x) for x in r.c]) for r in rows)
+    any input scale. Memoized per (session, sf_dir)."""
+    key = (id(spark), sf_dir, "ivf")
+    if key not in _FIT_CACHE:
+        _emb(spark, sf_dir)
+        rows = spark.sql(_ivf_fit_sql_spark()).collect()
+        _FIT_CACHE[key] = sorted(
+            (int(r.cent_id), [float(x) for x in r.c]) for r in rows
+        )
+    return _FIT_CACHE[key]
 
 
 def _cent_literal_sql(cents: list[tuple[int, list[float]]]) -> str:
@@ -601,12 +615,16 @@ def pq_fit_codebooks(
     spark: SparkSession, sf_dir: str
 ) -> list[tuple[int, int, list[float]]]:
     """Run the deterministic per-subspace fit; returns (m, code_id, c)
-    sorted — PQ_M * PQ_K rows, bounded at any input scale."""
-    _emb(spark, sf_dir)
-    rows = spark.sql(_pq_fit_sql_spark()).collect()
-    return sorted(
-        (int(r.m), int(r.code_id), [float(x) for x in r.c]) for r in rows
-    )
+    sorted — PQ_M * PQ_K rows, bounded at any input scale. Memoized per
+    (session, sf_dir) — see _FIT_CACHE."""
+    key = (id(spark), sf_dir, "pq")
+    if key not in _FIT_CACHE:
+        _emb(spark, sf_dir)
+        rows = spark.sql(_pq_fit_sql_spark()).collect()
+        _FIT_CACHE[key] = sorted(
+            (int(r.m), int(r.code_id), [float(x) for x in r.c]) for r in rows
+        )
+    return _FIT_CACHE[key]
 
 
 def _pq_book_literal_sql(books) -> str:
