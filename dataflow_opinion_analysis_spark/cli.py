@@ -31,6 +31,9 @@ Subcommands:
              every micro-batch of the documents file stream is one
              ingest wave + refresh (stream == incremental == batch,
              tests/test_dataprep_stream.py)
+  vector-index  streaming IVF+PQ index writer: micro-batches of an
+             embeddings file stream are code-assigned against a frozen
+             on-disk model and merged into a durable codes table
   datagen    deterministic synthetic transcripts generator
 """
 
@@ -126,6 +129,32 @@ def cmd_dataprep_stream(args) -> int:
             "packed_rows": prep.packed.read().count(),
             "cursor": prep.cursor(),
         }))
+    else:
+        q.awaitTermination()
+    spark.stop()
+    return 0
+
+
+def cmd_vector_index(args) -> int:
+    """Streaming vector-index writer: each micro-batch of the embeddings
+    file stream is assigned its IVF list + PQ codes against the frozen
+    <store>/model.json (fit from --fit-dir on first run) and MERGEd into
+    the durable codes table (streaming/vector_index.py)."""
+    from dataflow_opinion_analysis_spark.streaming.vector_index import (
+        run_vector_index_stream,
+    )
+
+    spark = _spark(args)
+    q, table = run_vector_index_stream(
+        spark, args.input, args.store, args.checkpoint, fit_dir=args.fit_dir,
+        max_files_per_trigger=args.max_files_per_trigger,
+    )
+    if args.drain:
+        q.processAllAvailable()
+        q.stop()
+        import json
+
+        print(json.dumps({"codes_rows": table.read().count()}))
     else:
         q.awaitTermination()
     spark.stop()
@@ -475,6 +504,21 @@ def main(argv: list[str] | None = None) -> int:
                    help="processAllAvailable then exit (tests/batch "
                         "drains); default runs until terminated")
     p.set_defaults(fn=cmd_dataprep_stream)
+
+    p = sub.add_parser("vector-index")
+    p.add_argument("--input", required=True,
+                   help="embeddings directory watched by the file stream")
+    p.add_argument("--store", required=True,
+                   help="index store root (model.json + codes MergeTable)")
+    p.add_argument("--checkpoint", required=True)
+    p.add_argument("--fit-dir", required=True,
+                   help="sf dir whose embeddings table fits the quantizers "
+                        "when <store>/model.json does not exist yet")
+    p.add_argument("--max-files-per-trigger", type=int, default=None)
+    p.add_argument("--drain", action="store_true",
+                   help="processAllAvailable then exit; default runs "
+                        "until terminated")
+    p.set_defaults(fn=cmd_vector_index)
 
     p = sub.add_parser("datagen")
     p.add_argument("--output", required=True)

@@ -389,6 +389,15 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         dataprep_stream.dataprep_stream,
         oracles_dataprep.DATAPREP_ORACLES["dataprep_pipeline"],
     )
+    # streaming vector-index writer: IVF list + PQ codes assigned per
+    # micro-batch against a frozen on-disk model, merged into a durable
+    # codes table — must equal the full-corpus DuckDB fit+assign oracle
+    from dataflow_opinion_analysis_spark.streaming import vector_index
+
+    reg["vector_index_stream"] = (
+        vector_index.vector_index_stream,
+        oracles_dataprep.DATAPREP_ORACLES["vector_index_stream"],
+    )
     for name, fn in curation_fns.items():
         reg[name] = (fn, oracles_curation.CURATION_ORACLES.get(name))
 

@@ -815,6 +815,45 @@ SELECT query_id, neighbor_id, cent_id, adc_dist, rk
 FROM ranked WHERE rk <= {similarity.ANN_TOP_K}
 """
 
+# full-corpus fit+assign mirror for the STREAMING index writer
+# (streaming/vector_index.py): the stream must converge to exactly this
+# table because its model is frozen and assignment is per-vector
+VECTOR_INDEX_STREAM_SQL = f"""
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v FROM embeddings
+),
+{_ivf_kmeans_ctes_duck()},
+scored AS (
+  SELECT a.vec_id, s.cent_id,
+    round(list_dot_product(a.v, s.c)
+      / ({_NORM.format(c='a')} * sqrt(list_dot_product(s.c, s.c))), 6) AS ccos
+  FROM v a CROSS JOIN cent{similarity.IVF_ITERS} s
+),
+assigned AS (
+  SELECT vec_id, cent_id FROM (
+    SELECT vec_id, cent_id,
+      row_number() OVER (PARTITION BY vec_id ORDER BY ccos DESC, cent_id) AS crk
+    FROM scored
+  ) WHERE crk = 1
+),
+{_pq_ctes_duck()},
+codes AS (
+  SELECT vec_id, m, code_id FROM (
+    SELECT a.vec_id, a.m, c.code_id,
+      row_number() OVER (PARTITION BY a.vec_id, a.m
+                         ORDER BY {_pq_dist_duck('a.s', 'c.c')}, c.code_id) AS crk
+    FROM sub a JOIN pcent{similarity.PQ_ITERS} c ON c.m = a.m
+  ) WHERE crk = 1
+),
+percode AS (
+  SELECT vec_id,
+    array_to_string(list(CAST(code_id AS VARCHAR) ORDER BY m), ',') AS codes_str
+  FROM codes GROUP BY vec_id
+)
+SELECT a.vec_id, a.cent_id, p.codes_str
+FROM assigned a JOIN percode p ON p.vec_id = a.vec_id
+"""
+
 # the composed pipeline: ONE DuckDB chain mirroring
 # operators/dataprep_pipeline.build_dataprep stage for stage
 # (quality+lang filter -> exact dedup -> MinHash near-dedup losers
@@ -1051,5 +1090,6 @@ DATAPREP_ORACLES: dict[str, str] = {
     "embedding_quantize_pq": EMBEDDING_QUANTIZE_PQ_SQL,
     "similarity_ann_pq_adc": SIMILARITY_ANN_PQ_ADC_SQL,
     "similarity_ann_ivf_pq": SIMILARITY_ANN_IVF_PQ_SQL,
+    "vector_index_stream": VECTOR_INDEX_STREAM_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,
 }

@@ -335,3 +335,28 @@ def test_cli_dataprep_refresh_two_waves(spark, tmp_path, capsys):
     cols = ["doc_id", "n_tokens", "start_offset", "n_chunks", "scrubbed_hash"]
     assert packed.select(cols).exceptAll(full.select(cols)).count() == 0
     assert packed.count() == full.count()
+
+
+def test_cli_vector_index_drain(spark, tmp_path, capsys):
+    """`cli vector-index --drain` streams an embeddings directory into
+    the codes table; rows match the corpus and the frozen model.json
+    exists afterwards."""
+    import json
+    import os
+
+    from dataflow_opinion_analysis_spark.streaming import vector_index
+    from tests.conftest import SF_DIR
+    from tests.test_vector_index import _write_waves
+
+    input_dir = str(tmp_path / "in")
+    _write_waves(input_dir, 0, 10**9, 2)
+    store = str(tmp_path / "store")
+    assert cli.main([
+        "vector-index", "--input", input_dir, "--store", store,
+        "--checkpoint", str(tmp_path / "ckpt"), "--fit-dir", SF_DIR,
+        "--max-files-per-trigger", "1", "--drain",
+    ]) == 0
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    n = spark.read.parquet(f"{SF_DIR}/embeddings.parquet").count()
+    assert out["codes_rows"] == n
+    assert os.path.exists(os.path.join(store, vector_index.MODEL_FILE))
