@@ -290,6 +290,31 @@ def q_indexer_enriched(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_story_impact_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Impact propagation over the reply graph: every webresource is a
+    node, every turn's ParentWebResourceHash is an edge child -> parent,
+    and rank flows up the thread (PAGERANK_ITERS fixed rounds, damping
+    0.85, integer-micro arithmetic — operators/components.pagerank_impact;
+    deviations documented there). A root post's rank is its accumulated
+    downstream engagement — the reference's StatStoryImpact idea
+    (StatsCalcPipelineUtils story-impact SQL) expressed as an iterative
+    graph computation instead of a windowed aggregate."""
+    from dataflow_opinion_analysis_spark.operators import components
+
+    out = _outputs(spark, sf_dir)
+    wr = out.webresource
+    nodes = wr.select(F.col("WebResourceHash").alias("node")).distinct()
+    edges = wr.filter(
+        F.col("ParentWebResourceHash").isNotNull()
+        & (F.col("ParentWebResourceHash") != "")
+    ).select(
+        F.col("WebResourceHash").alias("src"),
+        F.col("ParentWebResourceHash").alias("dst"),
+    )
+    r = components.pagerank_impact(nodes, edges)
+    return r.select(F.col("node").alias("web_resource_hash"), "rank_micro")
+
+
 def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]]:
     reg: dict[str, tuple[Callable[[SparkSession, str], DataFrame], str | None]] = {
         "indexer_document": (q_indexer_document, oracles.document_sql()),
@@ -300,6 +325,9 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
             oracles.enriched_tags_sql(ENRICH_GATE_RATIO),
         ),
     }
+    reg["story_impact_pagerank"] = (
+        q_story_impact_pagerank, oracles.pagerank_sql()
+    )
     for name in stats.GATE_SELECTS_SPARK:
         reg[f"stats_{name}"] = (
             _stats_query(name),

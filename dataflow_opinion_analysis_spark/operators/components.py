@@ -130,3 +130,55 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("node") == F.col("rep")).alias("is_canonical"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Impact propagation (PageRank-style) over the webresource reply graph
+# ---------------------------------------------------------------------------
+
+PAGERANK_ITERS = 4
+# integer-micro arithmetic: r0 = 1e6 per node; each iteration
+#   r(n) = 150000 + Σ_{src→n} (85 · r(src)) DIV (100 · outdeg(src))
+# i.e. classic damping 0.85 with two deliberate, documented deviations
+# that buy cross-engine bit-exactness: per-edge contributions are FLOOR
+# divisions of integers (both engines' integer division is exact, so
+# the per-node SUM is an exact bigint immune to FP addend order), and
+# dangling-node mass is dropped rather than redistributed (the
+# redistribution term is a global scalar that adds nothing to the
+# distributed-iteration shape this operator demonstrates).
+
+
+def pagerank_impact(
+    nodes: DataFrame, edges: DataFrame, iters: int = PAGERANK_ITERS
+) -> DataFrame:
+    """Fixed-iteration PageRank over (src -> dst) edges; returns
+    (node, rank_micro). Per iteration: one groupBy(outdeg) reused across
+    rounds, one equi-join of edges with the current ranks, one hash agg
+    of integer contributions, one left join back onto the node set —
+    every wide op keyed on node id, nothing collected. Each round is
+    localCheckpoint'ed (narrow 2-column frame) so the plan does not
+    double per iteration — the same barrier discipline as
+    connected_components above. At 100 TB: edges and ranks co-partition
+    on the node key; an iteration is two shuffles of the (node, long)
+    pair relation, independent of text/document width."""
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
+    outdeg = outdeg.localCheckpoint(eager=True)
+    r = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
+    for _ in range(iters):
+        contrib = (
+            edges.join(outdeg, "src")
+            .join(r.withColumnRenamed("node", "src"), "src")
+            .select(
+                F.col("dst").alias("node"),
+                F.expr("(85 * rank_micro) DIV (100 * outdeg)").alias("c"),
+            )
+        )
+        inflow = contrib.groupBy("node").agg(F.sum("c").alias("inflow"))
+        r = nodes.join(inflow, "node", "left").select(
+            "node",
+            (F.lit(150_000) + F.coalesce(F.col("inflow"), F.lit(0)))
+            .cast("long")
+            .alias("rank_micro"),
+        )
+        r = r.localCheckpoint(eager=True)
+    return r

@@ -397,3 +397,39 @@ JOIN dice ON dice.document_hash = w.expected_document_hash
 LEFT JOIN cnlp c ON c.document_hash = w.expected_document_hash
 """
     )
+
+
+def pagerank_sql(iters: int = 4) -> str:
+    """Impact propagation over the webresource reply graph — fixed
+    ``iters`` PageRank rounds unrolled as CTEs (DuckDB mirror of
+    operators/components.pagerank_impact). All-integer arithmetic:
+    per-edge contribution = (85·r) // (100·outdeg) (both engines' bigint
+    floor division is exact), so the per-node SUM never touches floats.
+    When a node has no in-edges the sum term is NULL -> coalesce 0,
+    matching Spark's nodes-LEFT-JOIN-inflow shape."""
+    parts = [f"""WITH wr AS (
+{webresource_sql()}
+),
+nodes AS (SELECT DISTINCT WebResourceHash AS node FROM wr),
+edges AS (
+  SELECT WebResourceHash AS src, ParentWebResourceHash AS dst FROM wr
+  WHERE ParentWebResourceHash IS NOT NULL AND ParentWebResourceHash <> ''
+),
+outdeg AS (SELECT src, cast(count(*) AS bigint) AS outdeg FROM edges GROUP BY src),
+r0 AS (SELECT node, CAST(1000000 AS BIGINT) AS rank_micro FROM nodes)"""]
+    prev = "r0"
+    for k in range(1, iters + 1):
+        parts.append(f""",
+r{k} AS (
+  SELECT n.node,
+    CAST(150000 + coalesce(sum((85 * r.rank_micro) // (100 * o.outdeg)), 0) AS BIGINT) AS rank_micro
+  FROM nodes n
+  LEFT JOIN edges e ON e.dst = n.node
+  LEFT JOIN outdeg o ON o.src = e.src
+  LEFT JOIN {prev} r ON r.node = e.src
+  GROUP BY n.node
+)""")
+        prev = f"r{k}"
+    parts.append(f"""
+SELECT node AS web_resource_hash, rank_micro FROM {prev}""")
+    return "".join(parts)

@@ -106,3 +106,41 @@ def test_cc_nonconvergence_bound_raises(spark):
     df = spark.createDataFrame([(i, i + 1) for i in range(63)], "a long, b long")
     with pytest.raises(RuntimeError, match="did not converge"):
         components.connected_components(df, max_rounds=0)
+
+
+def test_pagerank_impact_matches_python(spark):
+    """pagerank_impact == the dict-based reference on randomized graphs
+    (branching, chains, cycles, dangling nodes, multi-edges)."""
+    import random
+
+    from dataflow_opinion_analysis_spark.operators.components import (
+        PAGERANK_ITERS,
+        pagerank_impact,
+    )
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = rng.randint(8, 40)
+        nodes = [f"n{i}" for i in range(n)]
+        edges = []
+        for _ in range(rng.randint(n, 3 * n)):
+            a, b = rng.sample(range(n), 2)
+            edges.append((f"n{a}", f"n{b}"))
+
+        ndf = spark.createDataFrame([(x,) for x in nodes], "node string")
+        edf = spark.createDataFrame(edges, "src string, dst string")
+        got = {
+            r["node"]: int(r["rank_micro"])
+            for r in pagerank_impact(ndf, edf).collect()
+        }
+
+        outdeg = {}
+        for s, _ in edges:
+            outdeg[s] = outdeg.get(s, 0) + 1
+        r = {x: 1_000_000 for x in nodes}
+        for _ in range(PAGERANK_ITERS):
+            nxt = {x: 150_000 for x in nodes}
+            for s, d in edges:
+                nxt[d] += (85 * r[s]) // (100 * outdeg[s])
+            r = nxt
+        assert got == r, trial
