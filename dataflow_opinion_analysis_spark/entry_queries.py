@@ -369,6 +369,7 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
         "text_fingerprint": dataprep.text_fingerprint,
         "text_tfidf_keywords": dataprep.text_tfidf_keywords,
         "text_bm25_topk": dataprep.text_bm25_topk,
+        "text_bpe_merges": dataprep.text_bpe_merges,
         "text_hashed_classifier": dataprep.text_hashed_classifier,
         "similarity_topk_bruteforce": similarity.similarity_topk_bruteforce,
         "similarity_ann_lsh": similarity.similarity_ann_lsh,

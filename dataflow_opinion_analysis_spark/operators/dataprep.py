@@ -599,3 +599,75 @@ WHERE shingle <> ''
 GROUP BY doc_id
 """
     )
+
+
+BPE_ROUNDS = 3
+
+
+def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE merge induction over the corpus — {BPE_ROUNDS} rounds of the
+    classic tokenizer-vocabulary loop: count all adjacent token pairs,
+    merge the most frequent pair everywhere (greedy left-to-right, the
+    standard BPE application order), repeat on the re-tokenized corpus.
+    Returns one row per round: the merged pair, its count, and the
+    corpus token / distinct-token totals after the merge.
+
+    Engine-portable mechanics: the corpus state is a padded
+    double-space-separated token string (`' a  b  c '`), so one
+    regexp_replace of the literal `' a  b '` -> `' a_b '` applies the
+    merge with exact greedy non-overlap semantics in BOTH engines (the
+    pattern consumes one boundary space on each side and the double
+    separator leaves the next candidate's boundary intact — verified:
+    `' a  a  a  a '` -> `' a_a  a_a '`). Pair selection is (count DESC,
+    pair ASC) — all-integer, no FP anywhere.
+
+    Scale: each round is ONE scan + hash agg for pair counts (map-side
+    combined; the pair relation is vocab², not corpus-sized), a 1-row
+    argmax collected fit-then-serve (the repo's IVF pattern), and one
+    narrow regexp projection to re-tokenize — O(rounds) passes total.
+    Real trainers run hundreds of rounds on a bounded SAMPLE; the
+    per-round dataflow is unchanged."""
+    _docs(spark, sf_dir)
+    state = spark.sql(
+        f"""SELECT doc_id, concat(' ', array_join({SPARK_TOKENS}, '  '), ' ') AS s
+FROM documents"""
+    ).localCheckpoint(eager=True)
+
+    toks = "split(trim(s), '  ')"
+    pairs_expr = (
+        f"CASE WHEN size({toks}) >= 2 THEN "
+        f"transform(sequence(1, size({toks}) - 1), "
+        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
+        f"ELSE cast(array() AS array<string>) END"
+    )
+    rows = []
+    for rnd in range(1, BPE_ROUNDS + 1):
+        state.createOrReplaceTempView("bpe_state")
+        top = spark.sql(
+            f"""SELECT pair, cast(count(*) AS bigint) AS c
+FROM (SELECT explode({pairs_expr}) AS pair FROM bpe_state)
+GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1"""
+        ).collect()[0]
+        pair, cnt = str(top.pair), int(top.c)
+        lit = pair.replace("'", "''")
+        pat = " " + lit.replace(" ", "  ") + " "
+        rep = " " + lit.replace(" ", "_") + " "
+        state = spark.sql(
+            f"SELECT doc_id, regexp_replace(s, '{pat}', '{rep}') AS s FROM bpe_state"
+        ).localCheckpoint(eager=True)
+        state.createOrReplaceTempView("bpe_state")
+        st = spark.sql(
+            f"""SELECT
+  (SELECT cast(sum(CASE WHEN trim(s) = '' THEN 0 ELSE size({toks}) END) AS bigint)
+   FROM bpe_state) AS nt,
+  (SELECT cast(count(DISTINCT tok) AS bigint)
+   FROM bpe_state
+   LATERAL VIEW explode({toks}) x AS tok
+   WHERE trim(s) <> '') AS nd"""
+        ).collect()[0]
+        rows.append((rnd, pair, cnt, int(st.nt), int(st.nd)))
+    return spark.createDataFrame(
+        rows,
+        "round int, merged_pair string, pair_count bigint, "
+        "corpus_tokens_after bigint, distinct_tokens_after bigint",
+    )

@@ -292,6 +292,96 @@ SELECT query_id, doc_id AS match_doc_id, score_micro, n_terms, rk
 FROM ranked WHERE rk <= {dataprep.BM25_TOP_K}
 """
 
+# BPE merge induction mirror (operators/dataprep.text_bpe_merges):
+# the same padded double-space state string, the same greedy literal
+# regexp_replace merge, the same (count DESC, pair ASC) argmax — all
+# integer/string ops, unrolled for BPE_ROUNDS = 3
+TEXT_BPE_MERGES_SQL = f"""
+WITH d0 AS (
+  SELECT doc_id, ' ' || array_to_string({DUCK_TOKENS}, '  ') || ' ' AS s FROM documents
+),
+t1 AS (SELECT doc_id, str_split(trim(s), '  ') AS t FROM d0),
+p1 AS (
+  SELECT pair, cast(count(*) AS bigint) AS c
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM t1)
+  GROUP BY pair
+),
+b1 AS (SELECT pair, c FROM p1 ORDER BY c DESC, pair ASC LIMIT 1),
+d1 AS (
+  SELECT doc_id,
+    regexp_replace(s,
+      ' ' || replace((SELECT pair FROM b1), ' ', '  ') || ' ',
+      ' ' || replace((SELECT pair FROM b1), ' ', '_') || ' ', 'g') AS s
+  FROM d0
+),
+s1 AS (
+  SELECT
+    cast(sum(CASE WHEN trim(s) = '' THEN 0
+             ELSE len(str_split(trim(s), '  ')) END) AS bigint) AS nt,
+    (SELECT cast(count(DISTINCT tok) AS bigint)
+     FROM (SELECT unnest(str_split(trim(s), '  ')) AS tok
+           FROM d1 WHERE trim(s) <> '')) AS nd
+  FROM d1
+),
+t2 AS (SELECT doc_id, str_split(trim(s), '  ') AS t FROM d1),
+p2 AS (
+  SELECT pair, cast(count(*) AS bigint) AS c
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM t2)
+  GROUP BY pair
+),
+b2 AS (SELECT pair, c FROM p2 ORDER BY c DESC, pair ASC LIMIT 1),
+d2 AS (
+  SELECT doc_id,
+    regexp_replace(s,
+      ' ' || replace((SELECT pair FROM b2), ' ', '  ') || ' ',
+      ' ' || replace((SELECT pair FROM b2), ' ', '_') || ' ', 'g') AS s
+  FROM d1
+),
+s2 AS (
+  SELECT
+    cast(sum(CASE WHEN trim(s) = '' THEN 0
+             ELSE len(str_split(trim(s), '  ')) END) AS bigint) AS nt,
+    (SELECT cast(count(DISTINCT tok) AS bigint)
+     FROM (SELECT unnest(str_split(trim(s), '  ')) AS tok
+           FROM d2 WHERE trim(s) <> '')) AS nd
+  FROM d2
+),
+t3 AS (SELECT doc_id, str_split(trim(s), '  ') AS t FROM d2),
+p3 AS (
+  SELECT pair, cast(count(*) AS bigint) AS c
+  FROM (SELECT unnest(list_transform(generate_series(1, len(t) - 1),
+                                     i -> t[i] || ' ' || t[i + 1])) AS pair
+        FROM t3)
+  GROUP BY pair
+),
+b3 AS (SELECT pair, c FROM p3 ORDER BY c DESC, pair ASC LIMIT 1),
+d3 AS (
+  SELECT doc_id,
+    regexp_replace(s,
+      ' ' || replace((SELECT pair FROM b3), ' ', '  ') || ' ',
+      ' ' || replace((SELECT pair FROM b3), ' ', '_') || ' ', 'g') AS s
+  FROM d2
+),
+s3 AS (
+  SELECT
+    cast(sum(CASE WHEN trim(s) = '' THEN 0
+             ELSE len(str_split(trim(s), '  ')) END) AS bigint) AS nt,
+    (SELECT cast(count(DISTINCT tok) AS bigint)
+     FROM (SELECT unnest(str_split(trim(s), '  ')) AS tok
+           FROM d3 WHERE trim(s) <> '')) AS nd
+  FROM d3
+)
+SELECT 1 AS round, (SELECT pair FROM b1) AS merged_pair, (SELECT c FROM b1) AS pair_count, (SELECT nt FROM s1) AS corpus_tokens_after, (SELECT nd FROM s1) AS distinct_tokens_after
+UNION ALL
+SELECT 2 AS round, (SELECT pair FROM b2) AS merged_pair, (SELECT c FROM b2) AS pair_count, (SELECT nt FROM s2) AS corpus_tokens_after, (SELECT nd FROM s2) AS distinct_tokens_after
+UNION ALL
+SELECT 3 AS round, (SELECT pair FROM b3) AS merged_pair, (SELECT c FROM b3) AS pair_count, (SELECT nt FROM s3) AS corpus_tokens_after, (SELECT nd FROM s3) AS distinct_tokens_after
+"""
+
 TFIDF_K = dataprep.TFIDF_TOP_K
 TEXT_TFIDF_SQL = f"""
 WITH toks AS (
@@ -1092,4 +1182,5 @@ DATAPREP_ORACLES: dict[str, str] = {
     "similarity_ann_ivf_pq": SIMILARITY_ANN_IVF_PQ_SQL,
     "vector_index_stream": VECTOR_INDEX_STREAM_SQL,
     "text_bm25_topk": TEXT_BM25_SQL,
+    "text_bpe_merges": TEXT_BPE_MERGES_SQL,
 }

@@ -607,3 +607,47 @@ def test_ann_recall_floor(spark):
     assert r_lsh >= 0.03, r_lsh
     # the full-precision IVF ranking is never beaten by its quantized form
     assert r_ivf >= r_ivfpq - 1e-9, (r_ivf, r_ivfpq)
+
+
+def test_bpe_merges_match_pure_python(spark):
+    """text_bpe_merges == a dict-based BPE trainer (same greedy
+    left-to-right merge application, same (count desc, pair asc) argmax)
+    at sf0.001 — pins that the double-space regexp trick really
+    implements token-level greedy BPE."""
+    import re as _re
+
+    from dataflow_opinion_analysis_spark.operators import dataprep
+
+    sf = "/root/testdata/sf0.001"
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "text").toPandas()
+    corpus = [
+        _re.findall(r"[a-z0-9']+", (r.text or "").lower())
+        for r in docs.itertuples()
+    ]
+
+    def merge_doc(toks, a, b):
+        out, i = [], 0
+        while i < len(toks):
+            if i + 1 < len(toks) and toks[i] == a and toks[i + 1] == b:
+                out.append(a + "_" + b)
+                i += 2
+            else:
+                out.append(toks[i])
+                i += 1
+        return out
+
+    got = dataprep.text_bpe_merges(spark, sf).toPandas().sort_values("round")
+    for r in got.itertuples():
+        counts = {}
+        for toks in corpus:
+            for x, y in zip(toks, toks[1:]):
+                counts[(x, y)] = counts.get((x, y), 0) + 1
+        (a, b), c = min(counts.items(), key=lambda kv: (-kv[1], kv[0]))
+        assert r.merged_pair == f"{a} {b}", (r.round, r.merged_pair, (a, b))
+        assert int(r.pair_count) == c
+        corpus = [merge_doc(t, a, b) for t in corpus]
+        assert int(r.corpus_tokens_after) == sum(len(t) for t in corpus)
+        assert int(r.distinct_tokens_after) == len(
+            {x for t in corpus for x in t}
+        )
