@@ -171,3 +171,38 @@ def test_jdbc_date_validation():
         build_jdbc_import_query("2024-01-01'; DROP TABLE pages; --")
     with _pytest.raises(ValueError):
         build_jdbc_import_query(to_date="not-a-date")
+
+
+def test_kafka_value_parser_batch(spark):
+    """parse_kafka_turns decodes Kafka-shaped (binary key/value) rows into
+    the transcripts schema and drops undecodable messages — exercised on
+    a batch frame (no broker needed; the stream applies the identical
+    expressions)."""
+    import json
+
+    from dataflow_opinion_analysis_spark.sources.transcripts import (
+        parse_kafka_turns,
+    )
+
+    good = {"conv_id": "c1", "turn_idx": 0, "role": "user",
+            "text": "hello there", "tool": None,
+            "ts": "2024-01-01T00:00:00Z"}
+    rows = [
+        ("c1", json.dumps(good)),
+        ("c1", json.dumps({**good, "turn_idx": 1, "role": "tool",
+                           "tool": "search", "ts": "2024-01-01T00:01:00Z"})),
+        ("cX", "{not json"),                      # parse failure -> dropped
+        ("cY", json.dumps({"role": "user"})),     # missing keys -> dropped
+    ]
+    raw = spark.createDataFrame(
+        [(k.encode(), v.encode(), "turns", 0, i) for i, (k, v) in enumerate(rows)],
+        "key binary, value binary, topic string, partition int, offset long",
+    )
+    out = parse_kafka_turns(raw).orderBy("turn_idx").collect()
+    assert [r.turn_idx for r in out] == [0, 1]
+    assert out[0].conv_id == "c1" and out[0].text == "hello there"
+    assert out[1].tool == "search"
+    assert out[0].ts.isoformat().startswith("2024-01-01T00:00")
+    # schema identical to the file-stream source's
+    assert [f.name for f in parse_kafka_turns(raw).schema.fields] == [
+        "conv_id", "turn_idx", "role", "text", "tool", "ts"]
