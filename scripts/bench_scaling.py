@@ -565,8 +565,9 @@ def write_md(result: dict) -> None:
         "attempts: one pre-declared run, one result, no retry-until-win.",
         "",
         "**Post-measurement round-5 engineering (NOT re-measured under",
-        "the protocol this round — the no-retry pre-registration above",
-        "binds; the next pre-declared run is deferred to round 6).**",
+        "the 0.792 run's no-retry pre-registration — the next",
+        "pre-declared run executes at END of round 5; no round 6",
+        "exists).**",
         "Two further residue cuts landed after the 0.792 run, kept",
         "because they are correct engineering independent of the",
         "criterion: (1) empty-assembled micro-batches (every run's batch",
@@ -596,8 +597,9 @@ def write_md(result: dict) -> None:
         "probes on a quiet 183 Miter/s phase: local[2] 223.9s,",
         "local[8] 75.4s (informal COLD ratio 2.97x, and the protocol",
         "metric is steady-state, which excludes the one-time ramp this",
-        "single-run number still carries). Whatever round 6 measures on",
-        "this code under the frozen flags is the number.",
+        "single-run number still carries). Whatever the end-of-round-5",
+        "pre-declared run measures on this code under the frozen flags",
+        "is the number.",
         "",
         "Round-5 end-of-round residue study (informal warm profiles,",
         "scripts/profile_stream_residue.py, quiet host probes 223",
@@ -613,8 +615,21 @@ def write_md(result: dict) -> None:
         "(173.3s / 50.9s) but trims informal eff to 0.851 — the work it",
         "removes is perfectly-scaling work — so bench.py's local[32]",
         "throughput headline moved to trigger 64 (30.0s -> 24.2s warm)",
-        "while THIS protocol stays at trigger 32. Round-6 pre-declared",
-        "run: stream, local[2]->local[8], trigger 32, frozen flags.",
+        "while THIS protocol stays at trigger 32. End-of-round-5",
+        "pre-declared run: stream, local[2]->local[8], trigger 32,",
+        "frozen flags. Launch #1 of that run (2026-08-19T09:24Z) was",
+        "interrupted after pair 1 of 3 (operator-killed: the prior",
+        "driver session died mid-run and the successor needed the host",
+        "for the dev/verify work that must precede the binding",
+        "measurement); the one completed pair measured eff 1.16 —",
+        "non-physical >1, the 2-side ran in a busy phase — and was",
+        "auto-flagged by the frozen set (drift 0.239, side asymmetry",
+        "0.153, bracket probes 140-184 below the 170 floor). A",
+        "fully-flagged attempt determines nothing per the",
+        "pre-registered clause and is repeated on a quieter window;",
+        "the orphaned pair is recorded in scaling_runs.json",
+        "(interrupted: true). The repeat is the binding result at the",
+        "top of this file.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
