@@ -154,6 +154,9 @@ QUIET_MITERS = 170  # observed quiet-host floor; noisy phases read 100-165
 
 
 def wait_for_quiet(max_wait_s: float = 600.0) -> int:
+    """(max_wait_s is tunable via --quiet-wait: a longer cap only changes
+    WHEN a measurement starts, never how a pair is judged — the frozen
+    noise-flag set still applies to whatever window the run lands in.)"""
     """Block until two consecutive probes read a quiet host (>= QUIET_MITERS
     Miter/s), or max_wait_s elapses. Landing measurements in quiet windows
     beats only flagging noisy pairs after the fact — the sandbox host's
@@ -214,6 +217,9 @@ def main() -> int:
     ap.add_argument("--no-md", action="store_true", help="don't rewrite BENCH/BASELINE.md")
     ap.add_argument("--no-wait-quiet", action="store_true",
                     help="measure immediately instead of waiting for a quiet host window")
+    ap.add_argument("--quiet-wait", type=float, default=600.0,
+                    help="max seconds to wait for a quiet host window before "
+                    "each side measures anyway (flag-set unchanged)")
     args = ap.parse_args()
 
     from dataflow_opinion_analysis_spark import datagen
@@ -250,7 +256,7 @@ def main() -> int:
         obs, probes = {}, {}
         for cores in order:
             if not args.no_wait_quiet:
-                pre = wait_for_quiet()
+                pre = wait_for_quiet(args.quiet_wait)
             else:
                 pre = cpu_probe()
             d, nt = side_data[cores]
