@@ -317,7 +317,10 @@ def main() -> int:
         "median_big_tps": med_big,
         "median_pair_efficiency": med_eff,
         "median_cold_efficiency": med_cold,
-        "meets_0.8": med_eff >= 0.8,
+        # a run with zero clean pairs determines nothing (pre-registered
+        # fully-flagged clause): its median is over flagged pairs only
+        "protocol_valid": any(not p["noisy"] for p in pairs),
+        "meets_0.8": med_eff >= 0.8 and any(not p["noisy"] for p in pairs),
         "pairs": pairs,
     }
     print(json.dumps(result))
@@ -362,7 +365,14 @@ def write_md(result: dict) -> None:
         f"- median steady-state throughput: {result['median_small_tps']} turns/s at "
         f"N={result['n_small']}, {result['median_big_tps']} turns/s at 4N={result['n_big']}",
         f"- **median pair efficiency (steady-state) = {result['median_pair_efficiency']}** "
-        f"(target >= 0.8: {'MET' if result['meets_0.8'] else 'NOT MET'})",
+        + (
+            "(ALL PAIRS NOISE-FLAGGED — per the pre-registered clause a "
+            "fully-flagged run DETERMINES NOTHING and is repeated on a "
+            "quieter window; the median above is over flagged pairs and "
+            "is not a protocol-valid headline)"
+            if not any(not p["noisy"] for p in result["pairs"])
+            else f"(target >= 0.8: {'MET' if result['meets_0.8'] else 'NOT MET'})"
+        ),
         f"- median pair efficiency (cold first run, incl. one-time startup ramp) = "
         f"{result['median_cold_efficiency']}",
         "",
