@@ -644,7 +644,18 @@ def write_md(result: dict) -> None:
         "fully-flagged attempt determines nothing per the",
         "pre-registered clause and is repeated on a quieter window;",
         "the orphaned pair is recorded in scaling_runs.json",
-        "(interrupted: true). The repeat is the binding result at the",
+        "(interrupted: true). Launch #2 (2026-08-19T11:11Z, quiet-wait",
+        "cap raised to 1500s/side — changes only WHEN a side starts,",
+        "never how it is judged) completed all 3 pairs at eff 0.944 /",
+        "0.901 / 1.049 — every pair flagged by a sub-170 bracket probe",
+        "(pair 2's 1.049 is non-physical, confirming the flag was",
+        "right to fire), so fully-flagged again: determines nothing,",
+        "repeated. Note what the flagged pairs still show, for what a",
+        "skeptical reader judges it worth: all FOUR measured pairs on",
+        "the round-5 code (launches #1-#2) read eff 0.90-1.16, where",
+        "the pre-cut code's pairs read 0.649-0.852 —",
+        "consistent with the informal quiet-window 0.887 but never",
+        "once protocol-clean. The latest launch is the result at the",
         "top of this file.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
