@@ -655,8 +655,27 @@ def write_md(result: dict) -> None:
         "the round-5 code (launches #1-#2) read eff 0.90-1.16, where",
         "the pre-cut code's pairs read 0.649-0.852 —",
         "consistent with the informal quiet-window 0.887 but never",
-        "once protocol-clean. The latest launch is the result at the",
-        "top of this file.",
+        "once protocol-clean. Launch #3 (completed 2026-08-19T14:39Z)",
+        "ran all 3 pairs to completion: eff 0.874 / 0.996 / 0.949,",
+        "median 0.949 — and every pair is again flagged by the frozen",
+        "set (pair 0: one bracket probe 167 < 170; pair 1: drift 0.274",
+        "+ side asymmetry 0.122 + a 143 probe; pair 2: probes 103-146,",
+        "the host visibly busy). Fully-flagged again: determines",
+        "nothing, per the clause. The aggregate picture after three",
+        "launches: SEVEN measured pairs on the round-5 code read",
+        "0.87-1.16 (median 0.949), the host has not produced a single",
+        "clean 170+ window across ~6h of attempts (bracket probes",
+        "99-197, mostly 120-170), and the frozen flag set — held",
+        "fixed, as pre-registered, through every adverse AND favorable",
+        "result — has correctly refused to bless any of them. The",
+        "honest standing position for the >=0.8 stream 2->8 criterion",
+        "is therefore: protocol-clean evidence = the round-4 session's",
+        "0.827 (3/3 clean) on the round-4 code, DEMOTED by the 0.649",
+        "clean confirmation to a pooled clean median of 0.724 for that",
+        "code; the round-5 residue-cut code measures 0.887 informally",
+        "and 0.90-1.16 under load, but holds NO protocol-clean pair,",
+        "and no flag was bent to manufacture one. The latest launch is",
+        "the result at the top of this file.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
