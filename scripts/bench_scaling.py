@@ -674,8 +674,19 @@ def write_md(result: dict) -> None:
         "clean confirmation to a pooled clean median of 0.724 for that",
         "code; the round-5 residue-cut code measures 0.887 informally",
         "and 0.90-1.16 under load, but holds NO protocol-clean pair,",
-        "and no flag was bent to manufacture one. The latest launch is",
-        "the result at the top of this file.",
+        "and no flag was bent to manufacture one. Launch #4",
+        "(2026-08-19T19:38Z start, minutes after a host reboot whose",
+        "first probes read 172-198): pairs 0.916 / 0.993 / 0.631 —",
+        "every pair flagged again (drifts 0.43/0.51/0.26; probes",
+        "dropped to 91-163 MID-pair each time, and the raw walls show",
+        "it: the 2-side steady wall swung 303-462s across iterations",
+        "where a quiet host holds ~225s). Fully-flagged for the",
+        "fourth time: determines nothing. Aggregate after four",
+        "launches: TEN measured pairs on the round-5 code, median",
+        "0.93, range 0.63-1.16, zero protocol-clean — the host never",
+        "once held a 170+ window through a full pair in ~9h of",
+        "attempts. The latest launch is the result at the top of",
+        "this file.",
         "",
         "What made the job scale (round-3 changes, each A/B-measured at",
         "local[2] vs local[8] on the same input):",
