@@ -263,9 +263,15 @@ def cmd_table_maintenance(args) -> int:
     for name in ("webresource", "document", "sentiment", "content_index",
                  "dead_letter", "fingerprints"):
         t = getattr(sinks, name)
+        folded = (
+            t.compact_small_files(min_files=args.compact_min_files)
+            if args.compact_min_files
+            else 0
+        )
         expired = t.expire_snapshots(keep_last=args.keep_snapshots)
         deleted = t.vacuum(min_age_sec=args.vacuum_min_age_hours * 3600.0)
-        print(f"{name}: expired {len(expired)} snapshot(s), "
+        print(f"{name}: compacted {folded} small file(s), "
+              f"expired {len(expired)} snapshot(s), "
               f"deleted {len(deleted)} orphan file(s)")
     spark.stop()
     return 0
@@ -444,6 +450,11 @@ def main(argv: list[str] | None = None) -> int:
         "--vacuum-min-age-hours", type=float, default=4.0,
         help="orphan-age grace: never delete a data dir younger than this "
              "(a mid-merge writer's uncommitted dir looks like an orphan)",
+    )
+    p.add_argument(
+        "--compact-min-files", type=int, default=4,
+        help="fold small data files (rewrite_data_files BINPACK) when at "
+             "least this many exist; 0 disables compaction",
     )
     p.set_defaults(fn=cmd_table_maintenance)
 

@@ -532,8 +532,19 @@ def run_indexer_stream(
     cross_batch_near_dedupe: bool = False,
     metrics_listener: bool = True,
     state_store: str = "hdfs",
+    auto_compact_files: int = 64,
 ):
     """Start the streaming indexer; returns (query, sinks).
+
+    ``auto_compact_files``: when the content index — the one sink that is
+    RE-READ every micro-batch (claim derivation) — exceeds this many data
+    files, fold its small files with MergeTable.compact_small_files()
+    before the next trigger. A micro-batch sink accretes one directory
+    per trigger, so an uncompacted 10^12-turn stream would pay one scan
+    task per historical batch on every claim read; with compaction the
+    read stays O(table bytes / 128MB) files. Runs on the foreachBatch
+    thread between batches (never concurrent with a writer); cost is
+    O(small bytes), amortized O(1) per batch. 0 disables.
 
     ``state_store``: ``"hdfs"`` (default) keeps keyed thread state in
     executor heap with per-batch delta files — fine up to millions of
@@ -578,6 +589,10 @@ def run_indexer_stream(
     def _fb(df: DataFrame, bid: int):
         process_batch(df, bid, sinks, processing_time, soft_dedupe_enabled,
                       enrich_ratio, strict_scoring, cross_batch_near_dedupe)
+        if auto_compact_files:
+            ci = sinks.content_index
+            if len(ci.current_snapshot()["files"]) >= auto_compact_files:
+                ci.compact_small_files(min_files=2)
 
     q = (
         assembled.writeStream.foreachBatch(_fb)

@@ -326,6 +326,11 @@ class MergeTable:
                 )
             e = self._load_version(v).get("lineage_entry") or {}
             if e.get("batch_id") is None:
+                if e.get("compaction"):
+                    # compact_small_files: physical rewrite, zero logical
+                    # change — contributes no delta rows (Iceberg's
+                    # incremental append scan skips replace snapshots)
+                    continue
                 raise ValueError(
                     f"snapshot v{v} is a rewrite ({e.get('note')}), not an "
                     f"append; incremental scan across it is undefined"
@@ -547,6 +552,91 @@ class MergeTable:
             )
         )
         return n
+
+    def compact_small_files(
+        self,
+        *,
+        small_bytes: int = 32 * 2**20,
+        min_files: int = 4,
+        target_bytes: int = 128 * 2**20,
+    ) -> int:
+        """Bin-pack data files smaller than ``small_bytes`` into
+        ~``target_bytes`` files (Iceberg's rewrite_data_files BINPACK
+        strategy). Unlike ``replace()`` this rewrites ONLY the small
+        files — cost is O(small bytes), not O(table) — so a streaming
+        sink can run it amortized: a micro-batch sink accretes one
+        directory per trigger, and without compaction a reader pays one
+        scan task per historical batch (fatal over the millions of
+        triggers a 10^12-turn stream commits; the content index is read
+        every batch).
+
+        Preserved exactly: logical row content, committed batch ranges
+        (replay fencing), the manifest column list, and the
+        schema-evolution flag. The commit is marked ``compaction`` so
+        ``incremental_read`` SKIPS it (zero new rows — Iceberg's
+        incremental append scan likewise ignores replace snapshots)
+        rather than raising as it does for a full ``replace()``. The
+        folded source files stay on disk for time travel / retained
+        lineage until expire_snapshots() + vacuum().
+
+        Returns the number of source files folded (0 = nothing to do).
+        Must not run concurrently with a writer on the SAME table (the
+        manifest pointer is last-writer-wins); the streaming loop calls
+        it between micro-batches on the foreachBatch thread.
+        """
+
+        def _tree_bytes(p: str) -> int:
+            total = 0
+            for dirpath, _dirs, names in os.walk(p):
+                for nm in names:
+                    try:
+                        total += os.path.getsize(os.path.join(dirpath, nm))
+                    except OSError:
+                        pass
+            return total
+
+        snap = self.current_snapshot()
+        sized = [(fe, _tree_bytes(fe["path"])) for fe in snap["files"]]
+        smalls = [(fe, b) for fe, b in sized if b < small_bytes]
+        if len(smalls) < max(2, min_files):
+            return 0
+        small_paths = {fe["path"] for fe, _ in smalls}
+        keep = [fe for fe in snap["files"] if fe["path"] not in small_paths]
+
+        r = self.spark.read
+        if snap["evolved"]:
+            r = r.option("mergeSchema", "true")
+        df = r.parquet(*sorted(small_paths))
+        if snap["columns"]:
+            # only columns the small set actually carries — a column whose
+            # sole backing file is in `keep` must not be select()ed here
+            present = [c for c in snap["columns"] if c in df.columns]
+            df = df.select(*present)
+        total_bytes = sum(b for _, b in smalls)
+        nparts = max(1, -(-total_bytes // target_bytes))  # ceil
+        out_file = os.path.join(self.data_dir, f"compact-{uuid.uuid4().hex}")
+        # coalesce, not repartition: binpacking needs no shuffle
+        df.coalesce(nparts).write.mode("overwrite").parquet(out_file)
+
+        rows = sum(int(fe.get("rows") or 0) for fe, _ in smalls)
+        stats = {}
+        if self.partition_col is not None:
+            los = [fe.get("min_part") for fe, _ in smalls]
+            his = [fe.get("max_part") for fe, _ in smalls]
+            if all(v is not None for v in los + his):
+                # widened bounds: pruning degrades gracefully, never wrongly
+                stats = {"min_part": min(los), "max_part": max(his)}
+        fe_new = {"path": out_file, "rows": rows, **stats}
+        entry = {
+            "batch_id": None,
+            "note": "compact_small_files",
+            "compaction": True,  # incremental_read skips (0 new rows)
+            "files": [out_file],
+            "rows": rows,
+            "ts": time.time(),
+        }
+        self._commit(self._next_snap(snap, keep + [fe_new], entry))
+        return len(smalls)
 
     # -- retention ---------------------------------------------------------
     def expire_snapshots(self, keep_last: int = 1) -> list[int]:

@@ -305,3 +305,62 @@ def test_assume_unique_guard_raises_before_commit(spark, tmp_path):
     # the same batch, properly deduped upstream, then commits fine
     assert t.merge(_df(spark, dup_rows).dropDuplicates(["conv_id", "turn_idx"]),
                    1, assume_new=True) == 1
+
+
+def test_compact_small_files_binpacks_without_changing_content(spark, tmp_path):
+    """rewrite_data_files(BINPACK) parity: small files fold into one,
+    content / replay fencing / partition stats survive, and the commit is
+    transparent to the incremental append scan (zero delta rows)."""
+    t = _mk(spark, tmp_path)
+    for b in range(6):
+        t.merge(_df(spark, [(f"c{b}", 0, "x", 20240101 + b)]), b)
+    v_before = t.current_snapshot()["version"]
+    before = sorted((r.conv_id, r.date_id) for r in t.read().collect())
+
+    assert t.compact_small_files(min_files=2) == 6
+    snap = t.current_snapshot()
+    assert len(snap["files"]) == 1
+    # widened-but-correct partition stats on the packed file
+    assert snap["files"][0]["min_part"] == 20240101
+    assert snap["files"][0]["max_part"] == 20240106
+    assert sorted((r.conv_id, r.date_id) for r in t.read().collect()) == before
+    # replay fencing: all six batch ids still committed
+    assert t.merge(_df(spark, [("c0", 0, "REPLAY", 20240101)]), 0) == 0
+    # below min_files -> no-op, no new snapshot
+    v = snap["version"]
+    assert t.compact_small_files(min_files=2) == 0
+    assert t.current_snapshot()["version"] == v
+
+    # incremental scan ACROSS the compaction: appends on both sides are
+    # the delta; the compaction itself contributes nothing
+    t.merge(_df(spark, [("c9", 0, "y", 20240109)]), 9)
+    delta = t.incremental_read(since_version=v_before)
+    assert sorted(r.conv_id for r in delta.collect()) == ["c9"]
+    # a consumer whose cursor predates the folded appends still sees them
+    # (retained lineage references the original small files until expiry)
+    assert t.incremental_read(since_version=0).count() == 7
+
+
+def test_compact_small_files_preserves_schema_evolution(spark, tmp_path):
+    t = MergeTable(spark, str(tmp_path / "t2"), key_cols=["k"])
+    t.merge(spark.createDataFrame([("a", 1)], "k string, v int"), 0)
+    t.merge(spark.createDataFrame([("b", 2, "X")], "k string, v int, extra string"), 1)
+    assert t.current_snapshot()["evolved"]
+    assert t.compact_small_files(min_files=2) == 2
+    snap = t.current_snapshot()
+    assert snap["columns"] == ["k", "v", "extra"]
+    out = {r.k: (r.v, r.extra) for r in t.read().collect()}
+    assert out == {"a": (1, None), "b": (2, "X")}
+
+
+def test_compact_then_expire_vacuum_removes_folded_files(spark, tmp_path):
+    t = _mk(spark, tmp_path)
+    for b in range(3):
+        t.merge(_df(spark, [(f"c{b}", 0, "x", 20240101 + b)]), b)
+    assert t.compact_small_files(min_files=2) == 3
+    # while history is retained, the folded originals are lineage-referenced
+    assert t.vacuum(min_age_sec=0) == []
+    t.expire_snapshots(keep_last=1)
+    deleted = t.vacuum(min_age_sec=0)
+    assert len(deleted) == 3
+    assert t.read().count() == 3

@@ -532,3 +532,39 @@ def test_redelivered_turns_emitted_once(spark, tmp_path):
         assert a.count() == b.count(), name
     wr = sinks.webresource.read()
     assert wr.count() == wr.select("WebResourceHash").distinct().count()
+
+
+def test_stream_auto_compacts_content_index(spark, tmp_path):
+    """A long-running stream must not accrete one content-index file per
+    micro-batch (the claim read pays a scan task per file): with
+    auto_compact_files the foreachBatch loop folds the small files and
+    the stream's output is unchanged, replay fencing included."""
+    path = _gen(tmp_path, n_convs=12, n_files=8)
+    _append_flush(spark, path)
+    q, sinks = run_indexer_stream(
+        spark, path, str(tmp_path / "out"), str(tmp_path / "ckpt"),
+        watermark="5 minutes", max_files_per_trigger=1,
+        soft_dedupe_enabled=False, auto_compact_files=3,
+    )
+    q.processAllAvailable()
+    _append_flush(spark, path, "2030-01-01 01:00:00", turn_idx=1)
+    q.processAllAvailable()
+    q.stop()
+
+    ci = sinks.content_index
+    snap = ci.current_snapshot()
+    # ~9 non-empty triggers ran; without compaction that is ~9 files
+    assert len(snap["files"]) < 4
+    assert any(
+        (s.get("operation") == "compact_small_files") for s in ci.snapshots()
+    )
+    # content intact: one claim per distinct document content, winner==self
+    claims = ci.read()
+    assert claims.count() == claims.select("content_hash").distinct().count()
+    docs = _no_flush(sinks.document.read().drop("content_hash"))
+    assert docs.count() > 0
+    winners = claims.join(
+        sinks.document.read().select(
+            F.col("DocumentHash").alias("winner_document_hash")),
+        "winner_document_hash", "left_anti")
+    assert winners.count() == 0  # every claim points at a real document
