@@ -121,9 +121,17 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
 def decontaminate_sql_spark(rel: str = "documents") -> str:
     return f"""
 WITH eval_docs AS (
-  SELECT doc_id AS eval_id, coalesce(text, '') AS text,
-         row_number() OVER (ORDER BY doc_id) - 1 AS rn
+  SELECT doc_id AS eval_id, coalesce(text, '') AS text
   FROM {rel} WHERE doc_id % {DECON_EVAL_MOD} = {DECON_EVAL_REM}
+),
+-- the injection pick only ever consults rn < DECON_PICK_MOD, so the
+-- row_number runs over an ORDER BY/LIMIT subquery (TakeOrderedAndProject,
+-- distributed top-k) — never a partitionless window over the whole eval
+-- slice. Exact: the first {DECON_PICK_MOD} eval docs by doc_id are
+-- precisely the rows whose full-slice row_number would be < {DECON_PICK_MOD}.
+eval_pick AS (
+  SELECT eval_id, text, row_number() OVER (ORDER BY eval_id) - 1 AS rn
+  FROM (SELECT eval_id, text FROM eval_docs ORDER BY eval_id LIMIT {DECON_PICK_MOD})
 ),
 corpus AS (
   SELECT d.doc_id,
@@ -132,7 +140,7 @@ corpus AS (
                           coalesce(substr(e.text, 1, {DECON_SNIPPET_CHARS}), ''))
               ELSE coalesce(d.text, '') END AS text
   FROM {rel} d
-  LEFT JOIN eval_docs e ON e.rn = d.doc_id % {DECON_PICK_MOD}
+  LEFT JOIN eval_pick e ON e.rn = d.doc_id % {DECON_PICK_MOD}
   WHERE d.doc_id % {DECON_EVAL_MOD} <> {DECON_EVAL_REM}
 ),
 ctoks AS (SELECT doc_id, {SPARK_TOKENS} AS toks FROM corpus),

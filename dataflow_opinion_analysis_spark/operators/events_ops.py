@@ -329,7 +329,19 @@ GROUP BY l_returnflag, l_linestatus
 
 def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Join/HAVING/top-k shape: revenue per customer via orders x lineitem
-    x customer (broadcast dims, shuffled fact join)."""
+    x customer (broadcast dims, shuffled fact join).
+
+    Scale shape: the top-100 is taken FIRST with ORDER BY/LIMIT — Spark
+    compiles that to TakeOrderedAndProject, a distributed per-partition
+    top-k + driver merge — and rank() runs over the 100 surviving rows
+    only. Ranking before limiting (rank() OVER a partitionless window,
+    then LIMIT) would funnel the entire per-customer aggregate — the
+    customer dimension scales with SF — through ONE WindowExec
+    partition, because Catalyst cannot push a limit below a window.
+    Exact because the ordering key (revenue_c DESC, c_custkey) is total
+    (c_custkey unique): rank == row position, so the first 100 by the
+    sort are precisely the rows with rank <= 100 and the re-rank over
+    them reproduces the global rank values."""
     for t in ("lineitem", "orders", "customer", "nation"):
         _view(spark, sf_dir, t)
     return spark.sql(
@@ -343,14 +355,20 @@ WITH rev AS (
   FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
   GROUP BY o.o_custkey
   HAVING count(DISTINCT o.o_orderkey) >= 2
+),
+top100 AS (
+  -- TakeOrderedAndProject: distributed partial top-k, no global window
+  SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c, r.n_orders
+  FROM rev r
+  JOIN customer c ON c.c_custkey = r.o_custkey
+  JOIN nation n ON n.n_nationkey = c.c_nationkey
+  ORDER BY r.revenue_c DESC, c.c_custkey
+  LIMIT 100
 )
-SELECT c.c_custkey, c.c_name, n.n_name, r.revenue_c, r.n_orders,
-  rank() OVER (ORDER BY r.revenue_c DESC, c.c_custkey) AS rev_rank
-FROM rev r
-JOIN customer c ON c.c_custkey = r.o_custkey
-JOIN nation n ON n.n_nationkey = c.c_nationkey
+SELECT c_custkey, c_name, n_name, revenue_c, n_orders,
+  rank() OVER (ORDER BY revenue_c DESC, c_custkey) AS rev_rank
+FROM top100
 ORDER BY rev_rank
-LIMIT 100
 """
     )
 

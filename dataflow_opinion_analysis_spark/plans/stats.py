@@ -286,6 +286,15 @@ WITH s1 AS (
   FROM webresource wr
   GROUP BY 1 HAVING count(DISTINCT DocumentHash) > {min_docs}
 ),
+-- partitionless rank: runs over the PER-DOMAIN aggregate, whose
+-- cardinality is the domain dimension (~10^6-10^8 on the full web), not
+-- the corpus — a single WindowExec partition of narrow (Domain, bigint)
+-- rows stays small at any corpus size. If the ranked dimension itself
+-- were unbounded, replace with order-statistic thresholds: rank() <= K
+-- over (ORDER BY cntDocs DESC) is exactly cntDocs >= the K-th-largest
+-- cntDocs (ties included), computable from ORDER BY/LIMIT K
+-- (TakeOrderedAndProject) — the restructure tpch_top_customers applies
+-- (operators/events_ops.py) to its SF-scaling customer dimension.
 s1a AS (
   SELECT Domain, cntDocs, rank() OVER (ORDER BY cntDocs DESC) AS DomainRank
   FROM s1

@@ -195,6 +195,21 @@ def test_sftprep_and_event_feature_plans_clean(spark):
             assert bad not in plan, f"{name}: {bad}\n{plan[:3000]}"
 
 
+def test_top_customers_limit_below_rank_window(spark):
+    """tpch_top_customers must take its top-100 with ORDER BY/LIMIT
+    (TakeOrderedAndProject — distributed partial top-k) BEFORE the
+    partitionless rank() window, which then runs over 100 rows. The
+    regression shape — rank the full per-customer aggregate, then
+    LIMIT — has no TakeOrderedAndProject (Catalyst cannot push a limit
+    below a window) and funnels the SF-scaling customer dimension
+    through one WindowExec partition."""
+    from dataflow_opinion_analysis_spark.operators import events_ops
+
+    plan = plan_of(events_ops.tpch_top_customers(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan, plan[:3000]
+    assert_clean(events_ops.tpch_top_customers(spark, SF_DIR), "tpch_top_customers")
+
+
 def test_asof_join_is_single_user_shuffle(spark):
     """The as-of join must stay the union + running-window composition:
     exactly one hashpartitioning exchange (by user_id) in the final plan
