@@ -140,12 +140,21 @@ class IncrementalDataPrep:
                 "[^a-z0-9]+", " ")), 256,
         )
         exact_w = exact_w.withColumn("norm_hash", norm)
-        prior_hashes = self.norm_hashes.read().select("norm_hash")
-        exact = exact_w.join(prior_hashes, "norm_hash", "left_anti") \
-            .localCheckpoint(eager=True)
-        # claims commit BEFORE the cursor; replay re-merges idempotently
+        # First-claim via the store, REPLAY-SAFE: merge is insert-if-absent
+        # (an earlier wave's claim always wins; a replayed wave's own merge
+        # is a batch-id-fenced no-op), and the wave's surviving set is then
+        # read BACK from the store as "claims whose winner is me". An
+        # anti-join against the pre-merge store would NOT survive replay: a
+        # crash after the claims commit leaves the store containing this
+        # wave's own claims, so the replayed anti-join returns EMPTY and
+        # the wave's rows would be fenced out of the packed table forever
+        # (and the token cursor would advance by 0). Same pattern as the
+        # streaming indexer's prior-claims routing (streaming/pipeline.py).
         self.norm_hashes.merge(
-            exact.select("norm_hash", "doc_id"), wave_id)
+            exact_w.select("norm_hash", "doc_id"), wave_id)
+        own_claims = self.norm_hashes.read().select("norm_hash", "doc_id")
+        exact = exact_w.join(own_claims, ["norm_hash", "doc_id"], "left_semi") \
+            .localCheckpoint(eager=True)
 
         # 3. near-dedup: in-wave pairs + cross-wave via the band store.
         #    Read prior bands BEFORE inserting this wave's (a doc must not
@@ -164,8 +173,11 @@ class IncrementalDataPrep:
         # pull matching old docs back (text for the exact-Jaccard verify);
         # bounded by LSH collision count, not corpus size
         old_docs = self.docs.read().join(old_candidates, "doc_id", "left_semi")
+        # dropDuplicates: on a replay whose bands already committed, the
+        # store pulls this wave's own docs back as "old" — one row per
+        # doc keeps the pair derivation identical to the first run
         union_rel = exact.select("doc_id", "text").unionByName(
-            old_docs.select("doc_id", "text"))
+            old_docs.select("doc_id", "text")).dropDuplicates(["doc_id"])
         union_rel.createOrReplaceTempView("dpi_union")
         pairs = self.spark.sql(dataprep.dedup_minhash_sql_spark("dpi_union"))
         # loser = greater id of a >=threshold pair; old docs have smaller

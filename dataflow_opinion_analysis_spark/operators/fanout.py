@@ -15,7 +15,6 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from dataflow_opinion_analysis_spark import hashes, schemas
-from dataflow_opinion_analysis_spark.operators import hints
 
 
 def webresource_rows(input_content: DataFrame, document_hash_col: str = "expected_document_hash") -> DataFrame:
@@ -72,39 +71,6 @@ def document_rows(winners_with_tags: DataFrame, extra_cols: list[str] | None = N
         F.col("Tags"),
         *[F.col(c) for c in (extra_cols or [])],
     )
-
-
-def sentiment_rows(passages: DataFrame, winners: DataFrame, tags: DataFrame | None = None) -> DataFrame:
-    """Join scored passages back to their document keys
-    (IndexerPipeline.java:1398-1450 builds these same fields).
-
-    ONE inner join does everything: key columns, the soft-dedupe filter
-    (passages of eliminated docs drop out because they're absent from
-    winners), and — when winners already carries a Tags column (the
-    single tags join in plans/indexer.py) — the tag array, with no second
-    doc-sized join."""
-    doc_cols = [
-        F.col("expected_document_hash").alias("document_hash"),
-        F.col("pub_time"),
-        F.col("pub_date_id"),
-        F.col("web_resource_hash"),
-        F.col("parent_web_resource_hash"),
-        F.col("text"),  # LabelledPositions: passage offsets within doc text
-    ]
-    winners_has_tags = tags is None and "Tags" in winners.columns
-    if winners_has_tags:
-        doc_cols.append(F.col("Tags"))
-    doc_side = winners.select(doc_cols).transform(hints.big)  # strategy via operators/hints.py
-    df = passages.join(doc_side, "document_hash", "inner")
-    if tags is not None:
-        df = df.join(
-            tags.select(F.col("document_hash"), F.col("Tags")).transform(hints.big),
-            "document_hash",
-            "left",
-        )
-    elif not winners_has_tags:
-        df = df.withColumn("Tags", F.lit(None).cast(schemas.SENTIMENT["Tags"].dataType))
-    return _sentiment_projection(df)
 
 
 def sentiment_rows_fused(soft_winners: DataFrame) -> DataFrame:

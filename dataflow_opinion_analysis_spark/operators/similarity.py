@@ -397,8 +397,12 @@ def ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     sorted by cent_id. The collect is {IVF_CENTROIDS} rows — bounded at
     any input scale. Memoized per (session, sf_dir)."""
     key = (id(spark), sf_dir, "ivf")
+    # ALWAYS (re)bind the `embeddings` view to THIS sf_dir — a cache hit
+    # must not leave the serving query bound to whatever corpus another
+    # call registered last (the model would silently quantize foreign
+    # vectors). Registration is a view-pointer swap, no scan.
+    _emb(spark, sf_dir)
     if key not in _FIT_CACHE:
-        _emb(spark, sf_dir)
         rows = spark.sql(_ivf_fit_sql_spark()).collect()
         _FIT_CACHE[key] = sorted(
             (int(r.cent_id), [float(x) for x in r.c]) for r in rows
@@ -618,8 +622,8 @@ def pq_fit_codebooks(
     sorted — PQ_M * PQ_K rows, bounded at any input scale. Memoized per
     (session, sf_dir) — see _FIT_CACHE."""
     key = (id(spark), sf_dir, "pq")
+    _emb(spark, sf_dir)  # always rebind the view — see ivf_fit_centroids
     if key not in _FIT_CACHE:
-        _emb(spark, sf_dir)
         rows = spark.sql(_pq_fit_sql_spark()).collect()
         _FIT_CACHE[key] = sorted(
             (int(r.m), int(r.code_id), [float(x) for x in r.c]) for r in rows

@@ -62,6 +62,10 @@ class ThroughputListener(StreamingQueryListener):
             "processed_rows_per_second": p.processedRowsPerSecond,
             "batch_duration_ms": (p.durationMs or {}).get("triggerExecution"),
             "watermark": et.get("watermark"),
+            # epoch-filtered: None until the watermark actually initializes
+            # (the raw field keeps the epoch string for fidelity; summary()
+            # must not count the pre-init epoch value as an advance)
+            "watermark_effective": et.get("watermark") if wm is not None else None,
             "max_event_ts": et.get("max"),
             # the north-rule lag: how far the watermark trails the newest
             # event seen so far (== watermark delay + trigger latency once
@@ -104,14 +108,15 @@ class ThroughputListener(StreamingQueryListener):
         # watermark advanced. Idle ticks (none of the three) stay out.
         working, prev_state, prev_wm = [], None, None
         for r in self.rows:
+            wm_eff = r.get("watermark_effective")
             moved = (
                 bool(r["num_input_rows"])
                 or (prev_state is not None and r["state_rows"] != prev_state)
-                or (r["watermark"] is not None and r["watermark"] != prev_wm)
+                or (wm_eff is not None and wm_eff != prev_wm)
             )
             if moved:
                 working.append(r)
-            prev_state, prev_wm = r["state_rows"], r["watermark"]
+            prev_state, prev_wm = r["state_rows"], wm_eff
         total_ms = sum(r["batch_duration_ms"] or 0 for r in working)
         # lags over WORKING batches: with one fat feed trigger the only
         # batch carrying a post-init watermark is the zero-input flush

@@ -330,6 +330,11 @@ def process_batch(
     ci_future = _ci_pool.submit(
         sinks.content_index.merge, new_claims, batch_id, assume_new=True
     )
+    # shut down IMMEDIATELY (wait=False): the worker finishes the one
+    # submitted merge then exits, so a failure on any path below cannot
+    # leak a live thread per failed batch; ci_future.result() below is
+    # unaffected.
+    _ci_pool.shutdown(wait=False)
     _mark("content_index_merge")
     # Routing map = prior claims ∪ this batch's claims — identical to
     # re-reading the post-merge index (every batch hash has a winner:
@@ -467,7 +472,9 @@ def process_batch(
     #     an uncommitted table's replayed batch recomputes the identical
     #     rows (state-store replay + replay-fenced fingerprint reads).
     # tests/test_streaming.py::test_assume_new_matches_full_merge pins the
-    # resulting tables equal to the full-merge path; merge() itself still
+    # merge paths equal under these preconditions (which are themselves
+    # pinned by tests/test_threads_fence.py and
+    # test_redelivered_turns_emitted_once); merge() itself still
     # raises pre-commit on a gross uniqueness violation (Observation
     # guard). This is the O(batch)-not-O(table) requirement: at 10^12
     # turns the sinks cannot re-scan their history every commit.
@@ -487,12 +494,12 @@ def process_batch(
         f_wr.result()
     # join the overlapped content-index write before the metrics commit:
     # its failure must fail the batch. If an exception above skips this
-    # join, the thread finishes its own atomic commit in the background —
-    # a replayed batch racing it merely loses one of two identical
-    # deterministic commits (pointer rename is last-writer-wins; the
-    # loser's data dir is an unreferenced orphan for vacuum()).
+    # join, the orphaned thread finishes its own atomic commit in the
+    # background; should it stall past a restart that advances the table,
+    # its late commit raises ConcurrentCommitError inside the abandoned
+    # future (MergeTable._commit's parent check) instead of renaming the
+    # pointer backward over later batches' commits.
     ci_future.result()
-    _ci_pool.shutdown()
     _mark("sink_merges")
 
     max_ts = stats.max_ts

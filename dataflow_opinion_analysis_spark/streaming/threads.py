@@ -10,13 +10,15 @@ Keyed ``applyInPandasWithState`` on ``conv_id`` with event-time timeouts:
   allowed lateness are emitted in stable ``turn_idx`` order — the
   BASELINE.json invariant);
 - each emitted turn carries ``parent_ts`` resolved from the
-  conversation's seen-turns map (parent = turn_idx - 1), exactly what
-  the batch ``lag`` computes;
+  conversation's seen-versions set (parent = newest observed version of
+  turn_idx - 1), exactly what the batch ``lag`` computes;
 - turns arriving *behind* the watermark are emitted with
   ``status='late'`` (the sink filters and counts them — the reference
   has no late-data story at all, SURVEY.md §2.12 R3);
-- per-conversation state is bounded: the seen-turns map keeps the most
-  recent ``SEEN_CAP`` turn timestamps and the pending buffer at most
+- per-conversation state is bounded: the seen-versions set keeps the
+  most recent ``SEEN_CAP`` (turn_idx, ts) pairs — a SET of versions,
+  not a per-turn map, because it is the at-most-once fence the
+  assume_new sink merges rely on — and the pending buffer at most
   ``PENDING_CAP`` turns (hot-conversation protection at 10^12-turn
   scale; overflow turns are emitted immediately with
   ``status='overflow'`` rather than growing state).
@@ -86,10 +88,13 @@ def assemble_threads_fn(
     if state.exists:
         (p_idx, p_role, p_text, p_tool, p_ts, s_idx, s_ts) = state.get
         pending = list(zip(p_idx, p_role, p_text, p_tool, p_ts))
-        seen = dict(zip(s_idx, s_ts))
+        # seen VERSIONS: (turn_idx, ts) pairs — the s arrays may carry
+        # several entries per turn_idx (one per observed version)
+        seen_pairs = list(zip(s_idx, s_ts))
     else:
         pending = []
-        seen = {}
+        seen_pairs = []
+    pair_set = set(seen_pairs)
 
     wm_us = state.getCurrentWatermarkMs() * 1000
     late_rows: list[tuple] = []
@@ -98,18 +103,20 @@ def assemble_threads_fn(
         # redelivery fence: a turn VERSION is identified by (turn_idx, ts).
         # An at-least-once source may deliver the same version twice — in
         # one batch, across batches while the original is still pending,
-        # or after the original was emitted. The first two are caught by
-        # the pending-key set; the last by the seen map (seen[turn_idx]
-        # records the newest ts ever observed for the turn, so an exact
-        # re-arrival matches it — and an emitted turn's ts is always in
-        # seen, since emission requires having observed it). Deduping HERE
-        # — per conversation, in the already-grouped state stage, zero
-        # extra shuffle — is what lets the sink merges run with
+        # or after the original was emitted. In-flight duplicates are
+        # caught by the pending-key set; everything else by the seen-pairs
+        # SET, which records every version ever admitted. (A per-turn
+        # newest-ts MAP is not a fence: once a second version of the turn
+        # replaces the entry, a redelivery of the first version no longer
+        # matches — and on the ts == watermark edge, or for an
+        # 'overflow'-emitted version still above the watermark, it would
+        # be re-admitted and emitted 'ok' TWICE.) Deduping HERE — per
+        # conversation, in the already-grouped state stage, zero extra
+        # shuffle — is what lets the sink merges run with
         # assume_unique/assume_new (tables/mergetable.py) instead of
-        # re-deduplicating three wide fan-out frames per micro-batch.
-        # (A redelivery after emission is *usually* behind the watermark
-        # and routed 'late' anyway; the seen check also closes the ts ==
-        # watermark edge where it would have been emitted twice.)
+        # re-deduplicating three wide fan-out frames per micro-batch; a
+        # double 'ok' emission would commit a duplicate WebResourceHash
+        # key permanently.
         pkeys = {(r[0], r[4]) for r in pending}
         for pdf in pdfs:
             if not len(pdf):
@@ -119,22 +126,18 @@ def assemble_threads_fn(
             text = pdf["text"].tolist()
             tool = pdf["tool"].tolist()
             ts_us = (pdf["ts"].to_numpy("datetime64[us]").astype("int64")).tolist()
-            # this batch's newest ts per turn_idx REPLACES the seen entry
-            # (matches the original combine_first orientation)
-            newmax: dict[int, int] = {}
             for i in range(len(idx)):
                 ti, t = int(idx[i]), ts_us[i]
-                if (ti, t) in pkeys or seen.get(ti) == t:
+                if (ti, t) in pkeys or (ti, t) in pair_set:
                     continue  # duplicate delivery of a known version
                 pkeys.add((ti, t))
-                if newmax.get(ti, -1) < t:
-                    newmax[ti] = t
+                pair_set.add((ti, t))
+                seen_pairs.append((ti, t))
                 row = (ti, role[i], text[i], tool[i], t)
                 if wm_us > 0 and t < wm_us:
                     late_rows.append(row)
                 else:
                     pending.append(row)
-            seen.update(newmax)
 
     # emit everything the watermark has passed, in stable turn_idx order
     # (list.sort is stable: arrival order breaks (turn_idx, ts) ties,
@@ -148,11 +151,31 @@ def assemble_threads_fn(
         # hot-conversation overflow: force-emit the oldest overflow turns
         overflow, still = still[:n_overflow], still[n_overflow:]
 
-    # bound the seen map (keep highest turn idxs — parents of future turns)
-    if len(seen) > SEEN_CAP:
-        seen = dict(sorted(seen.items())[-SEEN_CAP:])
+    # bound the seen-pairs set. Eviction is fence-aware: a pair BEHIND
+    # the watermark is fence-irrelevant (its redelivery routes 'late',
+    # which the sink drops), so below-watermark pairs compact to one
+    # newest-version entry per turn (all the parent link needs) and are
+    # evicted first (lowest turn_idx first); pairs at/above the watermark
+    # — the ones a redelivery could re-admit as 'ok'/'overflow' — are
+    # kept, clamped at SEEN_CAP by recency only in the pathological case
+    # of a conversation holding > SEEN_CAP versions above the watermark.
+    if len(seen_pairs) > SEEN_CAP:
+        crit = [p for p in seen_pairs if p[1] >= wm_us]
+        if len(crit) > SEEN_CAP:
+            crit = sorted(crit, key=lambda p: (p[1], p[0]))[-SEEN_CAP:]
+        old_latest: dict[int, int] = {}
+        for ti, t in seen_pairs:
+            if t < wm_us and old_latest.get(ti, -1) < t:
+                old_latest[ti] = t
+        room = SEEN_CAP - len(crit)
+        extra = (
+            [(ti, old_latest[ti]) for ti in sorted(old_latest)[-room:]]
+            if room > 0
+            else []
+        )
+        seen_pairs = extra + crit
 
-    if len(still) or (len(seen) and not state.hasTimedOut):
+    if len(still) or (len(seen_pairs) and not state.hasTimedOut):
         state.update(
             (
                 [int(r[0]) for r in still],
@@ -160,8 +183,8 @@ def assemble_threads_fn(
                 [r[2] for r in still],
                 [r[3] for r in still],
                 [int(r[4]) for r in still],
-                [int(i) for i in seen],
-                [int(v) for v in seen.values()],
+                [int(p[0]) for p in seen_pairs],
+                [int(p[1]) for p in seen_pairs],
             )
         )
         if len(still):
@@ -194,8 +217,14 @@ def assemble_threads_fn(
         rows = late_rows + [p[0] for p in tagged]
         status = ["late"] * n_late + [p[1] for p in tagged]
         ts_col = np.fromiter((r[4] for r in rows), dtype="int64", count=len(rows))
+        # parent link = newest observed version of turn_idx - 1
+        latest: dict[int, int] = {}
+        for ti, t in seen_pairs:
+            if latest.get(ti, _NAT_US) < t:
+                latest[ti] = t
         parent_col = np.fromiter(
-            (seen.get(r[0] - 1, _NAT_US) for r in rows), dtype="int64", count=len(rows)
+            (latest.get(r[0] - 1, _NAT_US) for r in rows),
+            dtype="int64", count=len(rows),
         )
         yield pd.DataFrame(
             {

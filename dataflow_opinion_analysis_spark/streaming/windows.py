@@ -37,13 +37,17 @@ from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from dataflow_opinion_analysis_spark.operators.events_ops import (
+    ATTRIBUTION_WINDOW_HOURS,
     CEP_PATTERN,
     CEP_WINDOW_HOURS,
     SLIDE_STEP_MIN,
     SLIDE_WINDOW,
 )
 
-ATTRIBUTION_HOURS = 6
+# stream == batch equivalence depends on every window constant coming
+# from the batch operator module — a locally re-declared copy could
+# silently diverge the twins
+ATTRIBUTION_HOURS = ATTRIBUTION_WINDOW_HOURS
 
 
 def sliding_agg_stream(events: DataFrame, watermark: str = "10 minutes") -> DataFrame:

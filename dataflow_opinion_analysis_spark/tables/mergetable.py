@@ -47,6 +47,7 @@ from __future__ import annotations
 import json
 import os
 import shutil
+import threading
 import time
 import uuid
 
@@ -81,6 +82,13 @@ def _ranges_contains(ranges: list[list[int]], x: int) -> bool:
     return any(lo <= x <= hi for lo, hi in ranges)
 
 
+class ConcurrentCommitError(RuntimeError):
+    """A commit whose parent snapshot is no longer LATEST — the table
+    advanced under the writer (stale overlapped thread, concurrent
+    maintenance). The attempted manifest is discarded; any data files it
+    wrote are unreferenced orphans for vacuum()."""
+
+
 class MergeTable:
     def __init__(
         self,
@@ -99,6 +107,8 @@ class MergeTable:
         self.manifest_dir = os.path.join(path, "manifest")
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
+        # serializes the commit parent-check + pointer rename (_commit)
+        self._commit_lock = threading.Lock()
 
     # -- manifest chain ----------------------------------------------------
     def _latest_path(self) -> str:
@@ -143,10 +153,30 @@ class MergeTable:
         with open(os.path.join(self.manifest_dir, name)) as f:
             return self._normalize(json.load(f))
 
+    def _current_version(self) -> int:
+        p = self._latest_path()
+        if not os.path.exists(p):
+            return 0
+        with open(p) as f:
+            return int(f.read().strip()[1:-5])  # "v%010d.json"
+
     def _commit(self, snap: dict) -> None:
-        """Atomic commit: write manifest, then rename a pointer file over
-        LATEST. rename() is atomic on POSIX, so readers see either the old
-        or the new snapshot, never a torn state."""
+        """Atomic commit with optimistic concurrency (Iceberg's commit
+        rule): write manifest, then — under the instance lock, after
+        re-checking that LATEST is still this commit's PARENT — rename a
+        pointer file over LATEST. rename() is atomic on POSIX, so readers
+        see either the old or the new snapshot, never a torn state.
+
+        The parent check is what makes a STALE writer safe: a thread that
+        read snapshot v, stalled (GC pause, slow job), and tries to
+        commit v+1 after other commits advanced LATEST past v would
+        otherwise rename the pointer BACKWARD, erasing every later
+        commit's rows and replay fences from the table (the streaming
+        sinks overlap one merge thread with the batch — a failed batch
+        can orphan that thread mid-commit). Such a commit now raises
+        ConcurrentCommitError; its manifest/data files are unreferenced
+        orphans for vacuum(). The lock serializes check+rename within the
+        process — the only supported writer topology (see vacuum)."""
         name = f"v{snap['version']:010d}.json"
         mpath = os.path.join(self.manifest_dir, name)
         tmp = mpath + f".tmp-{uuid.uuid4().hex}"
@@ -154,13 +184,22 @@ class MergeTable:
             json.dump(snap, f)
             f.flush()
             os.fsync(f.fileno())
-        os.rename(tmp, mpath)
-        ptr_tmp = self._latest_path() + f".tmp-{uuid.uuid4().hex}"
-        with open(ptr_tmp, "w") as f:
-            f.write(name)
-            f.flush()
-            os.fsync(f.fileno())
-        os.rename(ptr_tmp, self._latest_path())
+        with self._commit_lock:
+            cur = self._current_version()
+            if cur != snap["version"] - 1:
+                os.remove(tmp)
+                raise ConcurrentCommitError(
+                    f"stale commit: attempted v{snap['version']} but LATEST "
+                    f"is v{cur} (expected parent v{snap['version'] - 1}); "
+                    f"the table advanced under this writer"
+                )
+            os.rename(tmp, mpath)
+            ptr_tmp = self._latest_path() + f".tmp-{uuid.uuid4().hex}"
+            with open(ptr_tmp, "w") as f:
+                f.write(name)
+                f.flush()
+                os.fsync(f.fileno())
+            os.rename(ptr_tmp, self._latest_path())
 
     def _next_snap(
         self,

@@ -57,6 +57,7 @@ def test_replayed_wave_is_idempotent(spark, tmp_path):
     prep.refresh(wave_id=0)
     before = {t: getattr(prep, t).read().count()
               for t in ("norm_hashes", "bands", "packed")}
+    good_cursor = prep.cursor()
     # simulate the crash: cursor rolled back, stores already committed
     prep._save_cursor({"docs_version": 0, "total_tokens": 0})
     r = prep.refresh(wave_id=0)
@@ -64,3 +65,17 @@ def test_replayed_wave_is_idempotent(spark, tmp_path):
     after = {t: getattr(prep, t).read().count()
              for t in ("norm_hashes", "bands", "packed")}
     assert before == after
+    # the replay must RECONSTRUCT the wave (the store now contains its own
+    # claims — an anti-join against it would re-derive an EMPTY wave,
+    # silently dropping the rows and resetting the token cursor): the
+    # cursor must land back on the pre-crash offsets exactly
+    assert prep.cursor() == good_cursor
+
+    # and the NEXT wave must still line up with the one-shot pipeline
+    prep.ingest(docs.filter(F.col("doc_id") >= 250), wave_id=1)
+    prep.refresh(wave_id=1)
+    incr = prep.packed.read().select(COLS)
+    full = build_dataprep(spark, docs).packed.select(COLS)
+    assert incr.count() == full.count()
+    assert incr.exceptAll(full).count() == 0
+    assert full.exceptAll(incr).count() == 0

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pyspark.sql.functions as F
+import pytest
 
 from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
 
@@ -364,3 +365,28 @@ def test_compact_then_expire_vacuum_removes_folded_files(spark, tmp_path):
     deleted = t.vacuum(min_age_sec=0)
     assert len(deleted) == 3
     assert t.read().count() == 3
+
+
+def test_stale_commit_rejected(spark, tmp_path):
+    """Optimistic concurrency: a writer that read snapshot v and tries to
+    commit after the table advanced past v must raise, never rename the
+    pointer backward over later commits (the stale-overlapped-thread
+    hazard in the streaming sink)."""
+    from dataflow_opinion_analysis_spark.tables.mergetable import (
+        ConcurrentCommitError,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.merge(_df(spark, [("a", 0, "x", 20240101)]), 0)
+    stale_snap = t.current_snapshot()  # v1
+    t.merge(_df(spark, [("b", 0, "y", 20240102)]), 1)  # advances to v2
+
+    entry = {"batch_id": 99, "note": "stale", "files": [], "rows": 0,
+             "ts": 0.0}
+    with pytest.raises(ConcurrentCommitError):
+        t._commit(t._next_snap(stale_snap, stale_snap["files"], entry))
+    # the table is untouched: still v2, both rows, batch 1 still fenced
+    snap = t.current_snapshot()
+    assert snap["version"] == 2
+    assert t.read().count() == 2
+    assert t.merge(_df(spark, [("b", 0, "REPLAY", 20240102)]), 1) == 0

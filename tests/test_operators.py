@@ -651,3 +651,27 @@ def test_bpe_merges_match_pure_python(spark):
         assert int(r.distinct_tokens_after) == len(
             {x for t in corpus for x in t}
         )
+
+
+def test_fit_cache_hit_rebinds_embeddings_view(spark):
+    """A memoized fit must still (re)bind the `embeddings` temp view to
+    ITS sf_dir: without the rebind, a cache-hit serve after any other
+    query registered a different corpus silently quantizes the wrong
+    vectors with the cached model (sf0.001 and sf0.01 carry different
+    embedding values, so the codes would differ)."""
+    from dataflow_opinion_analysis_spark.operators import similarity
+
+    a = "/root/testdata/sf0.001"
+    b = "/root/testdata/sf0.01"
+    first = sorted(
+        (r.vec_id, r.codes_str)
+        for r in similarity.embedding_quantize_pq(spark, a).collect()
+    )
+    # another operator binds the view to a DIFFERENT corpus...
+    similarity._emb(spark, b)
+    # ...and the warm-cache serve of `a` must still serve corpus `a`
+    again = sorted(
+        (r.vec_id, r.codes_str)
+        for r in similarity.embedding_quantize_pq(spark, a).collect()
+    )
+    assert again == first

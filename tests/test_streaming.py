@@ -375,18 +375,23 @@ def test_metrics_summary_feed_flush_shape():
         ThroughputListener,
     )
 
-    def row(bid, n, dur, wm, lag, state):
+    def row(bid, n, dur, wm, lag, state, raw_wm=None):
         return {
             "batch_id": bid, "num_input_rows": n,
             "processed_rows_per_second": 0, "batch_duration_ms": dur,
-            "watermark": wm, "max_event_ts": None,
+            "watermark": raw_wm if wm is None else wm,
+            "watermark_effective": wm, "max_event_ts": None,
             "watermark_lag_sec": lag, "wall_watermark_lag_sec": None,
             "state_rows": state,
         }
 
     lst = ThroughputListener()
     lst.rows = [
-        row(0, 509000, 16000, None, None, 509000),       # fat feed
+        # startup idle tick: zero input, no state, and the RAW watermark
+        # string is the pre-init epoch — must not count as an advance
+        row(-1, 0, 40, None, None, 0, raw_wm="1970-01-01T00:00:00.000Z"),
+        row(0, 509000, 16000, None, None, 509000,
+            raw_wm="1970-01-01T00:00:00.000Z"),           # fat feed
         row(1, 0, 35000, "2024-01-08T00:00:00Z", 600.0, 0),   # flush
         row(2, 120, 1500, "2024-01-08T00:10:00Z", 660.0, 120),  # trailing
         row(3, 0, 50, "2024-01-08T00:10:00Z", 660.0, 120),      # idle tick
@@ -568,3 +573,36 @@ def test_stream_auto_compacts_content_index(spark, tmp_path):
             F.col("DocumentHash").alias("winner_document_hash")),
         "winner_document_hash", "left_anti")
     assert winners.count() == 0  # every claim points at a real document
+
+
+def test_assume_new_matches_full_merge(spark, tmp_path):
+    """The assume_new fast path (no in-batch dropDuplicates, no anti-join
+    against the table) must land the same table as the full merge path,
+    given the preconditions the streaming sinks guarantee upstream
+    (per-batch key-unique frames, disjoint across batches — pinned by
+    tests/test_threads_fence.py and test_redelivered_turns_emitted_once).
+    Includes a replayed batch id: fenced identically on both paths."""
+    from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
+
+    schema = "k string, v string, date_id int"
+    fast = MergeTable(spark, str(tmp_path / "fast"), key_cols=["k"],
+                      partition_col="date_id")
+    full = MergeTable(spark, str(tmp_path / "full"), key_cols=["k"],
+                      partition_col="date_id")
+    batches = [
+        (0, [("a", "x", 20240101), ("b", "y", 20240101)]),
+        (1, [("c", "z", 20240102)]),
+        (1, [("c", "REPLAY", 20240102)]),  # replayed id -> fenced
+        (2, [("d", "w", 20240103), ("e", "v", 20240103)]),
+    ]
+    for bid, rows in batches:
+        df = spark.createDataFrame(rows, schema)
+        n_fast = fast.merge(df, bid, assume_new=True)
+        n_full = full.merge(df, bid)
+        assert n_fast == n_full
+    a = sorted(tuple(r) for r in fast.read().collect())
+    b = sorted(tuple(r) for r in full.read().collect())
+    assert a == b and len(a) == 5
+    # fencing state identical too
+    assert (fast.current_snapshot()["batch_ranges"]
+            == full.current_snapshot()["batch_ranges"])
