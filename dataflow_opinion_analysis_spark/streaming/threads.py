@@ -151,29 +151,66 @@ def assemble_threads_fn(
         # hot-conversation overflow: force-emit the oldest overflow turns
         overflow, still = still[:n_overflow], still[n_overflow:]
 
-    # bound the seen-pairs set. Eviction is fence-aware: a pair BEHIND
-    # the watermark is fence-irrelevant (its redelivery routes 'late',
-    # which the sink drops), so below-watermark pairs compact to one
-    # newest-version entry per turn (all the parent link needs) and are
-    # evicted first (lowest turn_idx first); pairs at/above the watermark
-    # — the ones a redelivery could re-admit as 'ok'/'overflow' — are
-    # kept, clamped at SEEN_CAP by recency only in the pathological case
-    # of a conversation holding > SEEN_CAP versions above the watermark.
+    # an emitted pair may have been evicted from the seen set in an
+    # EARLIER call while it sat pending (pkeys covered it then; nothing
+    # does after emission) — re-add before eviction so every version
+    # emitted 'ok'/'overflow' leaves this call fenced
+    for r in ripe:
+        p = (r[0], r[4])
+        if p not in pair_set:
+            pair_set.add(p)
+            seen_pairs.append(p)
+    for r in overflow:
+        p = (r[0], r[4])
+        if p not in pair_set:
+            pair_set.add(p)
+            seen_pairs.append(p)
+
+    # bound the seen-pairs set. Eviction is fence-aware, in priority
+    # order:
+    # 1. EMITTED at/above-watermark pairs are kept first — they are the
+    #    sole fence against re-admission as 'ok'/'overflow' (a just-
+    #    overflowed batch holds > PENDING_CAP above-wm pairs, far over
+    #    SEEN_CAP, and the overflow-EMITTED ones are precisely the pairs
+    #    that must survive; recency-clamped only if > SEEN_CAP versions
+    #    were emitted above the watermark — overflow emits oldest-first,
+    #    so emitted pairs age below the watermark and free the budget);
+    # 2. still-PENDING above-wm pairs next — pkeys double-covers them
+    #    while pending, and the emission re-add above restores their
+    #    fence entry if evicted here;
+    # 3. below-watermark pairs are fence-irrelevant (redelivery routes
+    #    'late', which the sink drops) and compact to one newest-version
+    #    entry per turn — all the parent link needs.
     if len(seen_pairs) > SEEN_CAP:
-        crit = [p for p in seen_pairs if p[1] >= wm_us]
-        if len(crit) > SEEN_CAP:
-            crit = sorted(crit, key=lambda p: (p[1], p[0]))[-SEEN_CAP:]
+        still_keys = {(r[0], r[4]) for r in still}
+        emitted_crit: list[tuple] = []
+        pending_crit: list[tuple] = []
         old_latest: dict[int, int] = {}
         for ti, t in seen_pairs:
-            if t < wm_us and old_latest.get(ti, -1) < t:
+            if t >= wm_us:
+                if (ti, t) in still_keys:
+                    pending_crit.append((ti, t))
+                else:
+                    emitted_crit.append((ti, t))
+            elif old_latest.get(ti, -1) < t:
                 old_latest[ti] = t
-        room = SEEN_CAP - len(crit)
+        if len(emitted_crit) > SEEN_CAP:
+            emitted_crit = sorted(
+                emitted_crit, key=lambda p: (p[1], p[0])
+            )[-SEEN_CAP:]
+        keep = emitted_crit
+        room = SEEN_CAP - len(keep)
+        if room > 0 and pending_crit:
+            keep = keep + sorted(
+                pending_crit, key=lambda p: (p[1], p[0])
+            )[-room:]
+            room = SEEN_CAP - len(keep)
         extra = (
             [(ti, old_latest[ti]) for ti in sorted(old_latest)[-room:]]
             if room > 0
             else []
         )
-        seen_pairs = extra + crit
+        seen_pairs = extra + keep
 
     if len(still) or (len(seen_pairs) and not state.hasTimedOut):
         state.update(
@@ -195,13 +232,25 @@ def assemble_threads_fn(
             state.setTimeoutTimestamp(max(wm_us // 1000, 1) + 30 * 60 * 1000)
     else:
         # either nothing tracked at all, or the session-gap timeout fired
-        # with no pending turns: the conversation is over — REMOVE the
-        # state. (Re-arming on timeout would retain every conversation
-        # ever seen and grow the store O(history) — the exact unbounded
-        # state the north rule forbids at 10^12-turn scale. A turn
-        # arriving after removal is behind the watermark by construction,
-        # so it is emitted with status='late' regardless of state.)
-        state.remove()
+        # with no pending turns. Removal is safe only when every seen
+        # pair is BEHIND the watermark — then any post-removal arrival is
+        # late by construction and the sink drops it. An overflow-emitted
+        # version can carry ts far ABOVE the watermark (skewed/future
+        # event time); removing its fence pair would let a redelivery
+        # re-enter as 'ok'. Retain exactly those pairs and re-arm the
+        # timeout for when the watermark passes the last of them — state
+        # is still bounded (pairs age below the watermark and the next
+        # timeout removes everything), never O(history).
+        fence_live = [p for p in seen_pairs if p[1] >= wm_us]
+        if fence_live:
+            state.update(([], [], [], [], [],
+                          [int(p[0]) for p in fence_live],
+                          [int(p[1]) for p in fence_live]))
+            state.setTimeoutTimestamp(
+                max(p[1] for p in fence_live) // 1000 + 1
+            )
+        else:
+            state.remove()
 
     n_late, n_ripe = len(late_rows), len(ripe) + len(overflow)
     if n_late or n_ripe:

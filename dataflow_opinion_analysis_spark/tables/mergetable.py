@@ -51,6 +51,11 @@ import threading
 import time
 import uuid
 
+try:
+    import fcntl
+except ImportError:  # non-POSIX: in-process locking only
+    fcntl = None
+
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
@@ -89,6 +94,23 @@ class ConcurrentCommitError(RuntimeError):
     wrote are unreferenced orphans for vacuum()."""
 
 
+# The commit critical section must be shared by EVERY writer of a table
+# path, not one MergeTable instance: a query restart builds new instances
+# over the same path while an orphaned merge thread may still hold the
+# old one. In-process that means a path-keyed lock registry; across
+# processes (driver restart racing an orphan of the old driver) an
+# advisory flock on a lockfile in the manifest dir covers the
+# check+rename window.
+_COMMIT_LOCKS: dict[str, threading.Lock] = {}
+_COMMIT_LOCKS_GUARD = threading.Lock()
+
+
+def _commit_lock_for(path: str) -> threading.Lock:
+    key = os.path.realpath(path)
+    with _COMMIT_LOCKS_GUARD:
+        return _COMMIT_LOCKS.setdefault(key, threading.Lock())
+
+
 class MergeTable:
     def __init__(
         self,
@@ -108,7 +130,8 @@ class MergeTable:
         os.makedirs(self.data_dir, exist_ok=True)
         os.makedirs(self.manifest_dir, exist_ok=True)
         # serializes the commit parent-check + pointer rename (_commit)
-        self._commit_lock = threading.Lock()
+        # across ALL instances on this path (see _commit_lock_for)
+        self._commit_lock = _commit_lock_for(path)
 
     # -- manifest chain ----------------------------------------------------
     def _latest_path(self) -> str:
@@ -162,7 +185,8 @@ class MergeTable:
 
     def _commit(self, snap: dict) -> None:
         """Atomic commit with optimistic concurrency (Iceberg's commit
-        rule): write manifest, then — under the instance lock, after
+        rule): write manifest, then — under the path-keyed lock plus a
+        cross-process flock, after
         re-checking that LATEST is still this commit's PARENT — rename a
         pointer file over LATEST. rename() is atomic on POSIX, so readers
         see either the old or the new snapshot, never a torn state.
@@ -185,21 +209,28 @@ class MergeTable:
             f.flush()
             os.fsync(f.fileno())
         with self._commit_lock:
-            cur = self._current_version()
-            if cur != snap["version"] - 1:
-                os.remove(tmp)
-                raise ConcurrentCommitError(
-                    f"stale commit: attempted v{snap['version']} but LATEST "
-                    f"is v{cur} (expected parent v{snap['version'] - 1}); "
-                    f"the table advanced under this writer"
-                )
-            os.rename(tmp, mpath)
-            ptr_tmp = self._latest_path() + f".tmp-{uuid.uuid4().hex}"
-            with open(ptr_tmp, "w") as f:
-                f.write(name)
-                f.flush()
-                os.fsync(f.fileno())
-            os.rename(ptr_tmp, self._latest_path())
+            lockf = open(os.path.join(self.manifest_dir, "COMMIT.lock"), "a")
+            try:
+                if fcntl is not None:  # cross-process writers (flock)
+                    fcntl.flock(lockf.fileno(), fcntl.LOCK_EX)
+                cur = self._current_version()
+                if cur != snap["version"] - 1:
+                    os.remove(tmp)
+                    raise ConcurrentCommitError(
+                        f"stale commit: attempted v{snap['version']} but "
+                        f"LATEST is v{cur} (expected parent "
+                        f"v{snap['version'] - 1}); the table advanced under "
+                        f"this writer"
+                    )
+                os.rename(tmp, mpath)
+                ptr_tmp = self._latest_path() + f".tmp-{uuid.uuid4().hex}"
+                with open(ptr_tmp, "w") as f:
+                    f.write(name)
+                    f.flush()
+                    os.fsync(f.fileno())
+                os.rename(ptr_tmp, self._latest_path())
+            finally:
+                lockf.close()  # releases the flock
 
     def _next_snap(
         self,
@@ -407,7 +438,25 @@ class MergeTable:
         if _ranges_contains(snap["batch_ranges"], int(batch_id)):
             return
         entry = {"batch_id": batch_id, "files": [], "rows": 0, "ts": time.time()}
-        self._commit(self._next_snap(snap, snap["files"], entry))
+        self._commit_batch(self._next_snap(snap, snap["files"], entry), batch_id)
+
+    def _commit_batch(self, snap: dict, batch_id: int) -> bool:
+        """Commit a batch-carrying snapshot; returns True if THIS commit
+        landed, False if the batch is already committed. A lost commit
+        race against a twin of the SAME batch id — an orphaned overlapped
+        merge thread replaying identical deterministic content — is
+        idempotent success, not an error: the table already holds exactly
+        the intended rows (this writer's data dir, if any, is an orphan
+        for vacuum()). Any other advancing writer re-raises."""
+        try:
+            self._commit(snap)
+            return True
+        except ConcurrentCommitError:
+            if _ranges_contains(
+                self.current_snapshot()["batch_ranges"], int(batch_id)
+            ):
+                return False
+            raise
 
     def merge(
         self,
@@ -534,7 +583,7 @@ class MergeTable:
             # new column would pin a column no file has and every
             # subsequent read()'s select(*columns) would fail unresolved.
             entry = {"batch_id": batch_id, "files": [], "rows": 0, "ts": time.time()}
-            self._commit(self._next_snap(snap, snap["files"], entry))
+            self._commit_batch(self._next_snap(snap, snap["files"], entry), batch_id)
             return 0
 
         stats = {}
@@ -548,9 +597,10 @@ class MergeTable:
             "rows": n,
             "ts": time.time(),
         }
-        self._commit(
+        self._commit_batch(
             self._next_snap(snap, snap["files"] + [fe], entry,
-                            batch_columns=batch.columns)
+                            batch_columns=batch.columns),
+            batch_id,
         )
         return n
 

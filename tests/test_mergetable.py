@@ -390,3 +390,28 @@ def test_stale_commit_rejected(spark, tmp_path):
     assert snap["version"] == 2
     assert t.read().count() == 2
     assert t.merge(_df(spark, [("b", 0, "REPLAY", 20240102)]), 1) == 0
+
+
+def test_lost_same_batch_commit_race_is_idempotent(spark, tmp_path):
+    """Losing a commit race to a twin of the SAME batch id (an orphaned
+    overlapped merge thread replaying identical content) is idempotent
+    success — the replayed micro-batch must not fail when the table
+    already holds exactly its rows. A stale commit for an UNcommitted
+    batch still raises."""
+    from dataflow_opinion_analysis_spark.tables.mergetable import (
+        ConcurrentCommitError,
+    )
+
+    t = _mk(spark, tmp_path)
+    t.merge(_df(spark, [("a", 0, "x", 20240101)]), 0)
+    stale = t.current_snapshot()  # v1 — read before the twin lands
+    t.merge(_df(spark, [("b", 0, "y", 20240102)]), 1)  # the twin: v2
+
+    entry = {"batch_id": 1, "files": [], "rows": 0, "ts": 0.0}
+    assert t._commit_batch(
+        t._next_snap(stale, stale["files"], entry), 1) is False
+    assert t.current_snapshot()["version"] == 2  # untouched
+
+    entry2 = {"batch_id": 7, "files": [], "rows": 0, "ts": 0.0}
+    with pytest.raises(ConcurrentCommitError):
+        t._commit_batch(t._next_snap(stale, stale["files"], entry2), 7)

@@ -90,15 +90,22 @@ def test_redelivery_at_watermark_edge_not_emitted_twice():
     assert len(dup) == 0, "emitted version re-admitted and re-emitted 'ok'"
 
 
-def test_overflow_emitted_version_not_reemitted(monkeypatch):
+def test_overflow_emitted_version_not_reemitted():
     """An 'overflow'-forced emission sits ABOVE the watermark; its
-    redelivery must not re-enter pending and emit again."""
-    from dataflow_opinion_analysis_spark.streaming import threads
+    redelivery must not re-enter pending and emit again. Runs at the
+    DEFAULT constants: overflow implies > PENDING_CAP above-watermark
+    pairs, far over SEEN_CAP, so this also pins that eviction keeps the
+    overflow-EMITTED pairs (they are the oldest — a recency clamp
+    evicts exactly them)."""
+    from dataflow_opinion_analysis_spark.streaming.threads import (
+        PENDING_CAP,
+        SEEN_CAP,
+    )
 
-    monkeypatch.setattr(threads, "PENDING_CAP", 8)
+    assert SEEN_CAP < PENDING_CAP  # the regime that made recency wrong
     base = 1_000 * US
     st = FakeState(wm_ms=0)
-    rows = [(i, base + i * US) for i in range(8 + 3)]
+    rows = [(i, base + i * US) for i in range(PENDING_CAP + 3)]
     out1 = _run(st, rows)
     over = out1[out1.status == "overflow"]
     assert len(over) == 3  # the oldest 3 forced out
@@ -109,22 +116,57 @@ def test_overflow_emitted_version_not_reemitted(monkeypatch):
     assert len(out2) == 0, "overflow-emitted versions re-admitted"
 
 
-def test_same_batch_two_versions_overflow_then_redelivery(monkeypatch):
+def test_same_batch_two_versions_overflow_then_redelivery():
     """Two versions of one turn in the same batch, the older forced out
     via overflow: only the newest survives in a per-turn map, so a map
-    fence forgets the emitted older version — the set fence must not."""
-    from dataflow_opinion_analysis_spark.streaming import threads
+    fence forgets the emitted older version — the set fence must not.
+    Default constants (eviction active)."""
+    from dataflow_opinion_analysis_spark.streaming.threads import PENDING_CAP
 
-    monkeypatch.setattr(threads, "PENDING_CAP", 8)
     base = 1_000 * US
     st = FakeState(wm_ms=0)
-    rows = [(i, base + i * US) for i in range(8 + 1)]
+    rows = [(i, base + i * US) for i in range(PENDING_CAP + 1)]
     rows.append((0, base - US))  # second, older version of turn 0
     out1 = _run(st, rows)
     assert len(out1[out1.status == "overflow"]) == 2
     # redeliver the older version of turn 0 (emitted via overflow)
     out2 = _run(st, [(0, base - US)])
     assert len(out2) == 0
+
+
+def test_session_gap_retains_above_watermark_fence(monkeypatch):
+    """The session-gap timeout must not remove fence pairs still at/above
+    the watermark: an overflow-emitted future-ts version redelivered
+    after the gap would otherwise re-enter and emit 'ok' again. State is
+    retained (pending empty, fence pairs only) until the watermark passes
+    them, then removed."""
+    from dataflow_opinion_analysis_spark.streaming import threads
+
+    monkeypatch.setattr(threads, "PENDING_CAP", 0)
+    wm = 1_000 * US
+    st = FakeState(wm_ms=wm // 1000)
+    # both rows sit ABOVE the watermark and are force-emitted 'overflow'
+    # (cap 0) — pending is empty while their fence pairs are still live
+    rows = [(0, wm + 5 * US), (1, wm + 6 * US)]
+    out1 = _run(st, rows)
+    assert list(out1.status) == ["overflow", "overflow"]
+    assert st.exists
+
+    # session-gap timeout fires while those ts are above the watermark:
+    # state must be RETAINED, not removed
+    st.hasTimedOut = True
+    list(assemble_threads_fn(("c1",), iter([]), st))
+    assert st.exists, "session gap removed a live above-watermark fence"
+    st.hasTimedOut = False
+    # redelivery of an overflow-emitted version is still fenced
+    out2 = _run(st, [(0, wm + 5 * US)])
+    assert len(out2) == 0
+
+    # once the watermark passes every fence pair, the next gap removes
+    st._wm_ms = (wm + 60 * US) // 1000
+    st.hasTimedOut = True
+    list(assemble_threads_fn(("c1",), iter([]), st))
+    assert not st.exists
 
 
 def test_eviction_keeps_fence_pairs_above_watermark(monkeypatch):
