@@ -220,3 +220,96 @@ def test_distinct_versions_both_emit_and_parent_is_newest():
     assert len(p1) == 1
     parent = p1.iloc[0]["parent_ts"]
     assert pd.Timestamp(parent).value // 1000 == t1  # newest, not last-arrived
+
+
+def test_fence_property_random_schedules(monkeypatch):
+    """Property: under ANY schedule of deliveries, redeliveries,
+    watermark advances, and session-gap timeouts, (1) no turn version is
+    ever emitted non-late ('ok'/'overflow') twice — the invariant the
+    assume_new sink merges rely on; (2) every version first delivered
+    on-time is emitted non-late exactly once by drain; (3) a version
+    first delivered late emits at most one 'late' row and never a
+    non-late one. PENDING_CAP is tiny so overflow fires constantly;
+    SEEN_CAP exceeds the version universe (the documented regime — the
+    production SEEN_CAP bounds emitted-above-watermark versions, and the
+    default-constant overflow case is pinned by the tests above)."""
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from dataflow_opinion_analysis_spark.streaming import threads
+
+    monkeypatch.setattr(threads, "PENDING_CAP", 3)
+    monkeypatch.setattr(threads, "SEEN_CAP", 64)
+
+    TS = [100 * US, 200 * US, 300 * US, 400 * US, 500 * US]
+    VERSIONS = [(ti, t) for ti in range(5) for t in TS]
+
+    batch_strat = st.tuples(
+        st.integers(min_value=0, max_value=3),       # wm bump (in 100s units)
+        st.lists(st.integers(min_value=0, max_value=len(VERSIONS) - 1),
+                 max_size=8),                        # deliveries (w/ repeats)
+        st.booleans(),                               # fire a timeout call too
+    )
+
+    @given(st.lists(batch_strat, max_size=12))
+    @settings(max_examples=120, deadline=None)
+    def check(schedule):
+        st_ = FakeState(wm_ms=0)
+        wm_us = 0
+        nonlate: dict[tuple, int] = {}
+        late: dict[tuple, int] = {}
+        first_on_time: dict[tuple, bool] = {}
+
+        def run(rows, timed_out):
+            st_.hasTimedOut = timed_out
+            out = _run(st_, rows) if not timed_out else None
+            if timed_out:
+                outs = list(assemble_threads_fn(("c1",), iter([]), st_))
+                out = (pd.concat(outs, ignore_index=True)
+                       if outs else pd.DataFrame(
+                           columns=["turn_idx", "ts", "status"]))
+                if len(out):
+                    out["ts_us"] = (out["ts"].astype("datetime64[us]")
+                                    .astype("int64"))
+            st_.hasTimedOut = False
+            for r in out.itertuples():
+                v = (int(r.turn_idx), int(r.ts_us))
+                if r.status == "late":
+                    late[v] = late.get(v, 0) + 1
+                else:
+                    nonlate[v] = nonlate.get(v, 0) + 1
+
+        for bump, deliveries, fire_timeout in schedule:
+            wm_us += bump * 100 * US
+            st_._wm_ms = wm_us // 1000
+            rows = []
+            for i in deliveries:
+                v = VERSIONS[i]
+                if v not in first_on_time:
+                    first_on_time[v] = not (wm_us > 0 and v[1] < wm_us)
+                rows.append(v)
+            run(rows, timed_out=False)
+            if fire_timeout and st_.exists:
+                run([], timed_out=True)
+
+        # drain: watermark beyond everything, then the final gap timeout
+        wm_us = 10_000 * US
+        st_._wm_ms = wm_us // 1000
+        run([], timed_out=False)
+        if st_.exists:
+            run([], timed_out=True)
+
+        for v, n in nonlate.items():
+            assert n == 1, f"version {v} emitted non-late {n} times"
+        for v, on_time in first_on_time.items():
+            if on_time:
+                assert nonlate.get(v, 0) == 1, (
+                    f"on-time version {v} emitted {nonlate.get(v, 0)}x")
+            else:
+                # late versions never reach the sinks as rows ('late' is
+                # filtered + counted only); re-emitting 'late' after a
+                # legitimate state removal is allowed — the invariant is
+                # that they NEVER surface non-late
+                assert nonlate.get(v, 0) == 0 and late.get(v, 0) >= 1
+
+    check()
