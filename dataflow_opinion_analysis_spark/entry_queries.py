@@ -465,4 +465,14 @@ def registry() -> dict[str, tuple[Callable[[SparkSession, str], DataFrame], str 
     }
     for name, fn in events_fns.items():
         reg[name] = (fn, oracles_events.EVENTS_ORACLES.get(name))
+
+    # continuous materialized aggregate: a real streaming run (append-mode
+    # sliding agg -> exactly-once MergeTable) gated against the batch
+    # sliding-window oracle on the finalized windows
+    from dataflow_opinion_analysis_spark.streaming import windows as _sw
+
+    reg["events_cagg_stream"] = (
+        _sw.events_cagg_stream,
+        oracles_events.EVENTS_ORACLES.get("events_cagg_stream"),
+    )
     return reg

@@ -101,6 +101,24 @@ FROM expanded
 GROUP BY 1, 2
 """
 
+# events_cagg_stream: the streamed continuous-aggregate TABLE must equal
+# the batch sliding-window aggregate for every finalized window — same
+# expansion as EVENTS_SLIDING_AGG_SQL, minus the HLL user sketch (the
+# approx column is engine-specific; exact distinct is gated on the batch
+# twin events_sliding_agg).
+EVENTS_CAGG_STREAM_SQL = """
+WITH expanded AS (
+  SELECT time_bucket(INTERVAL 15 MINUTE, ts) - k * INTERVAL 15 MINUTE AS window_start,
+         event_type, value
+  FROM events CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS k)
+)
+SELECT window_start, event_type,
+  count(*)                    AS n,
+  cast(sum(cast(round(value * 100) AS bigint)) AS bigint) AS total_value_c
+FROM expanded
+GROUP BY 1, 2
+"""
+
 EVENTS_INTERVAL_JOIN_SQL = """
 SELECT v.user_id                                  AS user_id,
        v.event_id                                 AS view_event_id,
@@ -314,6 +332,7 @@ EVENTS_ORACLES: dict[str, str] = {
     "events_sessionization": EVENTS_SESSIONIZATION_SQL,
     "events_tumbling_agg": EVENTS_TUMBLING_AGG_SQL,
     "events_sliding_agg": EVENTS_SLIDING_AGG_SQL,
+    "events_cagg_stream": EVENTS_CAGG_STREAM_SQL,
     "events_interval_join": EVENTS_INTERVAL_JOIN_SQL,
     "events_cep_pattern": EVENTS_CEP_PATTERN_SQL,
     "tpch_q1_like": TPCH_Q1_SQL,

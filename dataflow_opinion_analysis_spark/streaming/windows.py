@@ -248,3 +248,110 @@ def cep_pattern_stream(events: DataFrame, watermark: str = "10 minutes") -> Data
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def run_windowed_agg_table(
+    spark,
+    src_dir: str,
+    schema,
+    store_path: str,
+    checkpoint: str,
+    watermark: str = "10 minutes",
+    max_files_per_trigger: int = 1,
+):
+    """Continuously maintain the sliding-window aggregate as a DURABLE
+    exactly-once table — the continuous-materialized-aggregate shape
+    (TimescaleDB continuous aggregates / Flink windowed upsert sinks),
+    composed from this repo's two primitives:
+
+    - ``sliding_agg_stream`` in APPEND output mode: a (window,
+      event_type) row is emitted exactly once, when the watermark passes
+      the window end — late events inside the watermark are folded in
+      BEFORE emission, so the emitted row is final;
+    - a ``MergeTable`` keyed by (window_start, event_type): because
+      every emitted row is final, the sink needs only the plain
+      insert-if-absent MERGE — a replayed micro-batch is fenced by
+      batch id and, independently, by the key anti-join.
+
+    Returns ``(query, table)``; the caller drains/stops the query. The
+    table equals the batch aggregate over the closed input for every
+    finalized window (tests/test_streaming_windows.py).
+
+    Scale: aggregation state is O(open windows x event types), bounded
+    by the watermark; the sink commit is O(batch). At 10^12 events the
+    table itself is tiny (one row per window x type), so merges never
+    become the bottleneck; partition the table by a window-date column
+    (MergeTable(partition_col=...)) if readers prune by day.
+    """
+    from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
+
+    table = MergeTable(
+        spark, store_path, key_cols=["window_start", "event_type"]
+    )
+    sdf = sliding_agg_stream(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(src_dir),
+        watermark,
+    )
+    def _fb(df: DataFrame, bid: int):
+        # materialize the micro-batch ONCE (localCheckpoint runs every
+        # partition of the stateful plan, which Spark's state-store
+        # commit validation requires, and merge's several consumers then
+        # read the checkpoint instead of re-running the aggregate)
+        frame = df.localCheckpoint(eager=True)
+        table.merge(frame, bid)
+
+    q = (
+        sdf.writeStream.foreachBatch(_fb)
+        .outputMode("append")
+        .option("checkpointLocation", checkpoint)
+        .start()
+    )
+    return q, table
+
+
+def events_cagg_stream(spark, sf_dir: str) -> DataFrame:
+    """Driver gate for ``run_windowed_agg_table``: replay the events
+    table through the continuous-aggregate stream (one real file + two
+    far-future watermark sentinels), then return the DURABLE table's
+    finalized real windows. Only the cross-engine-exact columns are
+    projected (the HLL user sketch is engine-specific; the exact
+    distinct count is gated on the batch twin `events_sliding_agg`).
+    The DuckDB oracle is the same 4-windows-per-event expansion the
+    batch gate uses, minus that column — so the gate proves the
+    streamed, exactly-once, watermark-finalized TABLE equals the batch
+    aggregate."""
+    import datetime as _dt
+    import os as _os
+    import tempfile as _tf
+
+    root = _tf.mkdtemp(prefix="cagg_gate_")
+    src = _os.path.join(root, "in")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")  # NTZ -> LTZ for the watermark
+    )
+    ev.coalesce(1).write.mode("append").parquet(src)
+    q, table = run_windowed_agg_table(
+        spark, src, ev.schema,
+        _os.path.join(root, "store"), _os.path.join(root, "ckpt"),
+    )
+    q.processAllAvailable()
+    schema_str = ("event_id long, ts timestamp, user_id long, "
+                  "event_type string, value double, props string")
+    for i, ts in enumerate(("2030-01-01 00:00:00", "2030-01-01 01:00:00")):
+        spark.createDataFrame(
+            [(-101 - i, _dt.datetime.fromisoformat(ts), -1, "view", 0.0,
+              None)],
+            schema_str,
+        ).coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+    q.stop()
+    return (
+        table.read()
+        .filter(F.col("window_start") < "2029-01-01")
+        .select(
+            F.col("window_start").cast("timestamp_ntz").alias("window_start"),
+            "event_type", "n", "total_value_c",
+        )
+    )

@@ -192,3 +192,40 @@ def test_cep_stream_dedupes_redelivered_file(spark, tmp_path):
         os.path.join(sf, "events.parquet")
     )
     _assert_equal(out, events_ops.events_cep_pattern(spark, sf))
+
+
+def test_windowed_agg_table_continuous_aggregate(spark, tmp_path):
+    """The continuous-materialized-aggregate composition: append-mode
+    sliding aggregate -> exactly-once MergeTable keyed by (window_start,
+    event_type). The durable table must equal the batch aggregate for
+    every finalized window, and a full replay into the SAME table (fresh
+    checkpoint) must change nothing."""
+    d = str(tmp_path / "ev_cagg")
+    schema = _chunked_events(spark, d)
+
+    def run(ckpt):
+        q, table = sw.run_windowed_agg_table(
+            spark, d, schema, str(tmp_path / "store"), str(tmp_path / ckpt)
+        )
+        q.processAllAvailable()
+        _append_sentinels(spark, d, "2030-01-01 00:00:00")
+        q.processAllAvailable()
+        _append_sentinels(spark, d, "2030-01-01 01:00:00")
+        q.processAllAvailable()
+        q.stop()
+        return table
+
+    table = run("ck1")
+    cutoff = "2029-01-01"
+    got = table.read().filter(F.col("window_start") < cutoff)
+    want = sw.sliding_agg_stream(spark.read.parquet(d)).filter(
+        F.col("window_start") < cutoff
+    )
+    _assert_equal(got, want)
+    n1 = table.read().count()
+
+    # replay: same input, same store, fresh checkpoint -> no change
+    table2 = run("ck2")
+    assert table2.read().count() == n1
+    _assert_equal(
+        table2.read().filter(F.col("window_start") < cutoff), want)
