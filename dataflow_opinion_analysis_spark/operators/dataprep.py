@@ -37,6 +37,10 @@ MINHASH_P = 2147483647
 SIMHASH_BITS = 32
 SIMHASH_MAX_HAMMING = 6
 SIMHASH_BANDS = 8  # 8 bands x 4 bits; exact recall for hamming <= 6 (pigeonhole)
+# simhash band buckets are skew-prone (bit signs follow corpus token stats);
+# the banded self-join is decomposed into blocks of this many docs so no
+# single join task owns a quadratic bucket (see dedup_simhash docstring)
+_SIMHASH_BLOCK = 1024
 FINGERPRINT_N = 5
 # skew guard: drop shingles present in more than this many documents from
 # the inverted-index pair join (both engines apply the same cap)
@@ -240,51 +244,102 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """{SIMHASH_BITS}-bit SimHash per document + near-dup pairs with
     Hamming distance <= {SIMHASH_MAX_HAMMING} (bit_count of xor).
 
-    Pair generation is blocked on {SIMHASH_BANDS} x 4-bit prefix bands:
-    <= {SIMHASH_MAX_HAMMING} differing bits can corrupt at most
-    {SIMHASH_MAX_HAMMING} of the {SIMHASH_BANDS} bands, so at least two
-    bands remain equal in every qualifying pair — the (band, band_val)
-    equi-join has EXACT recall and the same output as the all-pairs theta
-    join, at O(N) shuffle instead of O(N^2) comparisons."""
+    Pair generation is blocked on {SIMHASH_BANDS} x 4-bit prefix bands
+    (pigeonhole: <= {SIMHASH_MAX_HAMMING} differing bits corrupt at most
+    {SIMHASH_MAX_HAMMING} bands, so >= 2 bands stay equal in every
+    qualifying pair — exact recall), with two scale fixes over the naive
+    banded self-join + DISTINCT:
+
+    1. FIRST-EQUAL-BAND emission instead of DISTINCT: a collision at
+       band b is emitted only when no band b' < b also matches (both
+       simhashes ride the join row, so "earlier band equal" is a cheap
+       codegen predicate). Every qualifying pair has >= 1 equal band, so
+       it is emitted exactly once — the DISTINCT (measured shuffling
+       ~2e9 candidate rows at sf1.0) disappears from the plan.
+    2. BLOCK-DECOMPOSED self-join: 4-bit band values are heavily skewed
+       (one (band, value) bucket holds 20k of 50k docs at sf1.0 —
+       2.1e8 candidates in ONE sort-merge-join task). Each bucket is
+       split into {_SIMHASH_BLOCK}-doc blocks by doc_id rank; the pair
+       space becomes the triangular grid of (block_i, block_j) i <= j
+       sub-joins keyed by (band, v, i, j), so no join task emits more
+       than {_SIMHASH_BLOCK}^2 candidates regardless of bucket skew.
+       Because blocks are doc_id-ordered, i < j implies doc_a < doc_b
+       and only the i == j diagonal needs the doc_id predicate.
+
+    Per-bit weights are {SIMHASH_BITS} conditional sums in ONE
+    groupBy(doc_id) hash aggregate (map-side combined) rather than a
+    {SIMHASH_BITS}x LATERAL-VIEW explode of the token relation — same
+    integer sums, same simhash, but the aggregate shuffles one narrow
+    row per document instead of tokens x {SIMHASH_BITS} rows."""
     _docs(spark, sf_dir)
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
+    mask = (1 << band_bits) - 1
+    wsums = ",\n         ".join(
+        f"sum(CASE WHEN (shiftright(h, {b}) & 1) = 1 THEN 1 ELSE -1 END) AS w{b}"
+        for b in range(SIMHASH_BITS)
+    )
+    simhash_expr = " + ".join(
+        f"(CASE WHEN w{b} > 0 THEN cast({1 << b} AS bigint) ELSE cast(0 AS bigint) END)"
+        for b in range(SIMHASH_BITS)
+    )
+    band_structs = ", ".join(
+        f"named_struct('band', {b}, "
+        f"'v', shiftright(simhash, {b * band_bits}) & {mask})"
+        for b in range(SIMHASH_BANDS)
+    )
+    first_match = "\n  AND ".join(
+        f"(a.band <= {k} OR (shiftright(a.simhash, {k * band_bits}) & {mask}) != "
+        f"(shiftright(b.simhash, {k * band_bits}) & {mask}))"
+        for k in range(SIMHASH_BANDS - 1)
+    )
+    blk = _SIMHASH_BLOCK
+    # the join emits ~2e9 candidate rows from a few-MB banded relation:
+    # AQE sizes post-shuffle partitions by INPUT bytes and would coalesce
+    # the join down to a handful of tasks, so the exchanges are pinned at
+    # shuffle width explicitly (scale-adaptive: derived from the session's
+    # core count, not a constant). Same for the one-file corpus scan
+    # feeding the CPU-bound token-hash aggregate.
+    width = spark.sparkContext.defaultParallelism * 2
     return spark.sql(
         f"""
-WITH toks AS (
-  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
-),
-th AS (
-  SELECT doc_id, token,
+WITH th AS (
+  SELECT doc_id,
          cast(conv(substr(sha2(token, 256), 1, 8), 16, 10) AS bigint) AS h
-  FROM toks
+  FROM (SELECT /*+ REPARTITION({width}) */ doc_id, explode({SPARK_TOKENS}) AS token
+        FROM documents)
 ),
-bits AS (
-  SELECT doc_id, b,
-         sum(CASE WHEN (shiftright(h, b) & 1) = 1 THEN 1 ELSE -1 END) AS w
-  FROM th
-  LATERAL VIEW explode(sequence(0, {SIMHASH_BITS - 1})) s AS b
-  GROUP BY doc_id, b
+ws AS (
+  SELECT doc_id,
+         {wsums}
+  FROM th GROUP BY doc_id
 ),
 sh AS (
-  SELECT doc_id,
-         sum(CASE WHEN w > 0 THEN cast(pow(2, b) AS bigint) ELSE 0 END) AS simhash
-  FROM bits GROUP BY doc_id
+  SELECT doc_id, {simhash_expr} AS simhash FROM ws
 ),
 banded AS (
-  SELECT doc_id, simhash, b AS band,
-         shiftright(simhash, b * {band_bits}) & {(1 << band_bits) - 1} AS band_val
-  FROM sh LATERAL VIEW explode(sequence(0, {SIMHASH_BANDS - 1})) s AS b
+  SELECT doc_id, simhash, t.band AS band, t.v AS v,
+         cast(floor((row_number() OVER (PARTITION BY t.band, t.v ORDER BY doc_id) - 1) / {blk}) AS int) AS blk,
+         cast(ceil(count(*) OVER (PARTITION BY t.band, t.v) / {blk}.0) AS int) AS nblk
+  FROM sh LATERAL VIEW explode(array({band_structs})) s AS t
 ),
-cand AS (
-  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-         a.simhash AS simhash_a, b.simhash AS simhash_b
-  FROM banded a JOIN banded b
-    ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+lhs AS (
+  SELECT /*+ REPARTITION({width}, band, v, blk, j) */
+         doc_id, simhash, band, v, blk, j
+  FROM banded LATERAL VIEW explode(sequence(blk, nblk - 1)) s AS j
+),
+rhs AS (
+  SELECT /*+ REPARTITION({width}, band, v, i, blk) */
+         doc_id, simhash, band, v, i, blk
+  FROM banded LATERAL VIEW explode(sequence(0, blk)) s AS i
 )
-SELECT doc_a, doc_b, simhash_a, simhash_b,
-       bit_count(simhash_a ^ simhash_b) AS hamming
-FROM cand
-WHERE bit_count(simhash_a ^ simhash_b) <= {SIMHASH_MAX_HAMMING}
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       a.simhash AS simhash_a, b.simhash AS simhash_b,
+       bit_count(a.simhash ^ b.simhash) AS hamming
+FROM lhs a JOIN rhs b
+  ON a.band = b.band AND a.v = b.v AND a.blk = b.i AND a.j = b.blk
+WHERE (a.blk < b.blk OR a.doc_id < b.doc_id)
+  AND bit_count(a.simhash ^ b.simhash) <= {SIMHASH_MAX_HAMMING}
+  AND {first_match}
 """
     )
 
@@ -626,19 +681,34 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     argmax collected fit-then-serve (the repo's IVF pattern), and one
     narrow regexp projection to re-tokenize — O(rounds) passes total.
     Real trainers run hundreds of rounds on a bounded SAMPLE; the
-    per-round dataflow is unchanged."""
+    per-round dataflow is unchanged.
+
+    Round-6 optimizations (identical per-round output, gate-checked):
+    - the token ARRAY rides the checkpointed state next to the string, so
+      per-round expressions index `t` directly instead of re-running
+      `split(trim(s))` inside every element_at of the pair lambda — the
+      old form re-split the whole document string per array ACCESS,
+      O(len_tokens * len_string) per row per scan;
+    - the corpus is spread to shuffle width ONCE at state build (the
+      one-file parquet scan otherwise pins every round's regexp rewrite
+      and pair aggregate to two tasks);
+    - the two per-round stat scalar subqueries (token total + distinct
+      count, separate scans) are ONE aggregate over a single explode of
+      `t` (count(tok) == sum(size(t)) over non-empty docs, same rows)."""
     _docs(spark, sf_dir)
+    width = spark.sparkContext.defaultParallelism * 2
     state = spark.sql(
-        f"""SELECT doc_id, concat(' ', array_join({SPARK_TOKENS}, '  '), ' ') AS s
-FROM documents"""
+        f"""SELECT doc_id, s, split(trim(s), '  ') AS t
+FROM (SELECT /*+ REPARTITION({width}) */ doc_id,
+             concat(' ', array_join({SPARK_TOKENS}, '  '), ' ') AS s
+      FROM documents)"""
     ).localCheckpoint(eager=True)
 
-    toks = "split(trim(s), '  ')"
     pairs_expr = (
-        f"CASE WHEN size({toks}) >= 2 THEN "
-        f"transform(sequence(1, size({toks}) - 1), "
-        f"i -> concat(element_at({toks}, i), ' ', element_at({toks}, i + 1))) "
-        f"ELSE cast(array() AS array<string>) END"
+        "CASE WHEN size(t) >= 2 THEN "
+        "transform(sequence(1, size(t) - 1), "
+        "i -> concat(element_at(t, i), ' ', element_at(t, i + 1))) "
+        "ELSE cast(array() AS array<string>) END"
     )
     rows = []
     for rnd in range(1, BPE_ROUNDS + 1):
@@ -653,17 +723,15 @@ GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1"""
         pat = " " + lit.replace(" ", "  ") + " "
         rep = " " + lit.replace(" ", "_") + " "
         state = spark.sql(
-            f"SELECT doc_id, regexp_replace(s, '{pat}', '{rep}') AS s FROM bpe_state"
+            f"""SELECT doc_id, s, split(trim(s), '  ') AS t
+FROM (SELECT doc_id, regexp_replace(s, '{pat}', '{rep}') AS s FROM bpe_state)"""
         ).localCheckpoint(eager=True)
         state.createOrReplaceTempView("bpe_state")
         st = spark.sql(
-            f"""SELECT
-  (SELECT cast(sum(CASE WHEN trim(s) = '' THEN 0 ELSE size({toks}) END) AS bigint)
-   FROM bpe_state) AS nt,
-  (SELECT cast(count(DISTINCT tok) AS bigint)
-   FROM bpe_state
-   LATERAL VIEW explode({toks}) x AS tok
-   WHERE trim(s) <> '') AS nd"""
+            """SELECT cast(count(tok) AS bigint) AS nt,
+       cast(count(DISTINCT tok) AS bigint) AS nd
+FROM bpe_state LATERAL VIEW explode(t) x AS tok
+WHERE trim(s) <> ''"""
         ).collect()[0]
         rows.append((rnd, pair, cnt, int(st.nt), int(st.nd)))
     return spark.createDataFrame(
