@@ -108,11 +108,16 @@ def _stats_tables(spark: SparkSession, sf_dir: str):
         return _memoize_build(
             spark,
             key,
+            # checkpoint_facts=False: the fact frames registered above ARE
+            # the indexer's eager localCheckpoints (_outputs builds with
+            # persist=True), so build_stats's own fact barrier would
+            # re-materialize already-truncated frames (~3s at sf1.0)
             lambda: stats.build_stats(
                 spark,
                 persist=True,
                 domainopinions_min_docs=stats.GATE_MIN_DOMAIN_DOCS,
                 domainopinions_min_basic8=stats.GATE_MIN_BASIC8,
+                checkpoint_facts=False,
             ),
         )
     return _OUTPUTS_CACHE[key]

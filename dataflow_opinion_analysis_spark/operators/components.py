@@ -118,7 +118,9 @@ def dedup_cluster_cc(spark: SparkSession, sf_dir: str) -> DataFrame:
     on chained dups. DuckDB oracle: recursive-CTE reachability
     (oracles_dataprep.DEDUP_CLUSTER_CC_SQL)."""
     dataprep._docs(spark, sf_dir)
-    pairs = spark.sql(dataprep.dedup_minhash_sql_spark())
+    # staged builder (shingles/sizes/bands materialized once) — the
+    # all-in-one SQL re-expanded the shingle chain per CTE reference
+    pairs = dataprep.minhash_pairs(spark, "documents", "cc_mh")
     comp = connected_components(pairs, a="doc_a", b="doc_b")
     sizes = comp.groupBy("rep").agg(F.count("*").alias("cluster_size"))
     return (
@@ -161,6 +163,12 @@ def pagerank_impact(
     connected_components above. At 100 TB: edges and ranks co-partition
     on the node key; an iteration is two shuffles of the (node, long)
     pair relation, independent of text/document width."""
+    # pin the two loop-invariant relations once: nodes is referenced in
+    # every iteration's left join (and its upstream is typically a
+    # DISTINCT over a wide frame — re-planned and re-shuffled per round
+    # without the barrier), edges in every contribution join
+    nodes = nodes.localCheckpoint(eager=True)
+    edges = edges.localCheckpoint(eager=True)
     outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
     outdeg = outdeg.localCheckpoint(eager=True)
     r = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))

@@ -119,23 +119,65 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 """
 
 
+def _shingle_views(spark: SparkSession, prefix: str, rel: str = "documents") -> None:
+    """Materialize the DF-capped shingle relation + per-doc sizes over
+    ``rel`` ONCE (eager localCheckpoint) and register them as
+    ``{prefix}_shingles`` / ``{prefix}_sizes``.
+
+    Catalyst inlines multi-referenced CTEs once PER reference, so the
+    all-in-one-SQL shapes re-ran the tokenize/shingle/DISTINCT/cap chain
+    (and the documents scan under it) for every reference — 16 corpus
+    scans in the ngram pair query, 24 in minhash at round 5. Staging is
+    the repo's _emb_dup_build fit-then-serve pattern; every stage's SQL
+    and its output rows are unchanged. The one-file corpus scan is
+    spread to shuffle width before the CPU-bound tokenize."""
+    width = spark.sparkContext.defaultParallelism * 2
+    raw = spark.sql(
+        f"""
+SELECT DISTINCT doc_id, shingle
+FROM (SELECT doc_id, explode({SPARK_SHINGLES}) AS shingle
+      FROM (SELECT /*+ REPARTITION({width}) */ doc_id, {SPARK_TOKENS} AS toks
+            FROM {rel}))
+WHERE shingle <> ''
+"""
+    ).localCheckpoint(eager=True)
+    raw.createOrReplaceTempView(f"{prefix}_raw_shingles")
+    shingles = spark.sql(
+        f"""
+SELECT s.doc_id, s.shingle
+FROM {prefix}_raw_shingles s
+JOIN (SELECT shingle FROM {prefix}_raw_shingles GROUP BY shingle
+      HAVING count(*) <= {MAX_SHINGLE_DF}) r
+  ON r.shingle = s.shingle
+"""
+    ).localCheckpoint(eager=True)
+    shingles.createOrReplaceTempView(f"{prefix}_shingles")
+    sizes = spark.sql(
+        f"SELECT doc_id, count(*) AS n_sh FROM {prefix}_shingles GROUP BY doc_id"
+    ).localCheckpoint(eager=True)
+    sizes.createOrReplaceTempView(f"{prefix}_sizes")
+
+
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Word-3-gram Jaccard near-dup pairs via a shingle inverted index."""
+    """Word-3-gram Jaccard near-dup pairs via a shingle inverted index
+    (shingle relation staged once — see _shingle_views)."""
     _docs(spark, sf_dir)
+    _shingle_views(spark, "ng")
+    width = spark.sparkContext.defaultParallelism * 2
     return spark.sql(
         f"""
-WITH {_shingle_cte_spark()},
-common AS (
+WITH common AS (
   SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-  FROM shingles a JOIN shingles b
+  FROM (SELECT /*+ REPARTITION({width}, shingle) */ * FROM ng_shingles) a
+  JOIN (SELECT /*+ REPARTITION({width}, shingle) */ * FROM ng_shingles) b
     ON a.shingle = b.shingle AND a.doc_id < b.doc_id
   GROUP BY a.doc_id, b.doc_id
 )
 SELECT c.doc_a, c.doc_b, c.n_common,
   round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
 FROM common c
-JOIN sizes sa ON sa.doc_id = c.doc_a
-JOIN sizes sb ON sb.doc_id = c.doc_b
+JOIN ng_sizes sa ON sa.doc_id = c.doc_a
+JOIN ng_sizes sb ON sb.doc_id = c.doc_b
 WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_THRESHOLD}
 """
     )
@@ -150,9 +192,91 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     At cluster scale every stage is an equi-shuffle (shingle, doc_id,
     band key) — no all-pairs anywhere, and the signature aggregate gets
-    map-side partial combine for free."""
+    map-side partial combine for free.
+
+    The gate runs the SAME stages as dedup_minhash_sql_spark but
+    materializes shingles/sizes/bands once (see _shingle_views: the
+    all-in-one SQL re-expanded the shingle chain per CTE reference — 24
+    corpus scans in the round-5 plan)."""
     _docs(spark, sf_dir)
-    return spark.sql(dedup_minhash_sql_spark())
+    return minhash_pairs(spark, "documents", "mh")
+
+
+def minhash_bands(spark: SparkSession, rel: str = "documents", prefix: str = "mhb") -> DataFrame:
+    """Staged twin of minhash_bands_sql_spark over ``rel``: identical
+    rows, but the shingle chain is materialized once (see
+    _shingle_views) instead of re-expanding per CTE reference."""
+    _shingle_views(spark, prefix, rel)
+    mins, band_structs = _minhash_parts()
+    return spark.sql(
+        f"""
+WITH hashed AS (
+  SELECT doc_id,
+         cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
+  FROM {prefix}_shingles
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed
+  GROUP BY doc_id
+)
+SELECT doc_id, bb.band AS band, bb.band_key AS band_key
+FROM sig
+LATERAL VIEW explode(array({band_structs})) t AS bb
+"""
+    )
+
+
+def minhash_pairs(spark: SparkSession, rel: str = "documents", prefix: str = "mh") -> DataFrame:
+    """Staged twin of dedup_minhash_sql_spark over ``rel``: identical
+    stage SQL and output rows, but shingles/sizes/bands are materialized
+    once (eager localCheckpoint) instead of re-expanding per CTE
+    reference. Shared by the gate, the composed/incremental dataprep
+    pipelines and cluster dedup."""
+    _shingle_views(spark, prefix, rel)
+    mins, band_structs = _minhash_parts()
+    bands = spark.sql(
+        f"""
+WITH hashed AS (
+  SELECT doc_id,
+         cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
+  FROM {prefix}_shingles
+),
+sig AS (
+  SELECT doc_id,
+         {mins}
+  FROM hashed
+  GROUP BY doc_id
+)
+SELECT doc_id, bb.band AS band, bb.band_key AS band_key
+FROM sig
+LATERAL VIEW explode(array({band_structs})) t AS bb
+"""
+    ).localCheckpoint(eager=True)
+    bands.createOrReplaceTempView(f"{prefix}_bands")
+    return spark.sql(
+        f"""
+WITH cand AS (
+  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+  FROM {prefix}_bands a JOIN {prefix}_bands b
+    ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
+),
+common AS (
+  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+  FROM cand c
+  JOIN {prefix}_shingles a ON a.doc_id = c.doc_a
+  JOIN {prefix}_shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+  GROUP BY c.doc_a, c.doc_b
+)
+SELECT c.doc_a, c.doc_b,
+  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
+FROM common c
+JOIN {prefix}_sizes sa ON sa.doc_id = c.doc_a
+JOIN {prefix}_sizes sb ON sb.doc_id = c.doc_b
+WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_THRESHOLD}
+"""
+    )
 
 
 def _minhash_parts() -> tuple[str, str]:
@@ -546,17 +670,30 @@ def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     term in every document would otherwise join queries x corpus); the
     per-(query, doc) sum is a hash agg on the join output, partial
     map-side; corpus size and avgdl are scalar subqueries (no 1-row
-    cross join, no BroadcastNestedLoopJoin)."""
+    cross join, no BroadcastNestedLoopJoin).
+
+    tf is MATERIALIZED once (eager localCheckpoint): df/dl/qterms/hits
+    all read it, and Catalyst's per-reference CTE inlining re-ran the
+    tokenize+explode+agg chain (with the corpus scan under it) four
+    times in the round-5 plan. Same stage SQL, same rows; the one-file
+    corpus scan is spread to shuffle width before the tokenize."""
     _docs(spark, sf_dir)
+    width = spark.sparkContext.defaultParallelism * 2
+    tf = spark.sql(
+        f"""
+SELECT doc_id, token, count(*) AS tf
+FROM (SELECT doc_id, explode({SPARK_TOKENS}) AS token
+      FROM (SELECT /*+ REPARTITION({width}) */ doc_id, text FROM documents))
+GROUP BY doc_id, token
+"""
+    ).localCheckpoint(eager=True)
+    tf.createOrReplaceTempView("bm25_tf")
     n_sq = "(SELECT CAST(count(*) AS BIGINT) FROM documents)"
     avgdl_sq = "(SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)"
     return spark.sql(
         f"""
-WITH toks AS (
-  SELECT doc_id, explode({SPARK_TOKENS}) AS token FROM documents
-),
-tf AS (
-  SELECT doc_id, token, count(*) AS tf FROM toks GROUP BY doc_id, token
+WITH tf AS (
+  SELECT doc_id, token, tf FROM bm25_tf
 ),
 df AS (
   SELECT token, count(*) AS df FROM tf GROUP BY token

@@ -160,8 +160,8 @@ class IncrementalDataPrep:
         #    Read prior bands BEFORE inserting this wave's (a doc must not
         #    collide with itself through the store).
         exact.createOrReplaceTempView("dpi_exact")
-        new_bands = self.spark.sql(
-            dataprep.minhash_bands_sql_spark("dpi_exact")
+        new_bands = dataprep.minhash_bands(
+            self.spark, "dpi_exact", "dpi_bands"
         ).localCheckpoint(eager=True)
         prior_bands = self.bands.read()
         old_candidates = (
@@ -179,7 +179,9 @@ class IncrementalDataPrep:
         union_rel = exact.select("doc_id", "text").unionByName(
             old_docs.select("doc_id", "text")).dropDuplicates(["doc_id"])
         union_rel.createOrReplaceTempView("dpi_union")
-        pairs = self.spark.sql(dataprep.dedup_minhash_sql_spark("dpi_union"))
+        # staged builder (shingles/sizes/bands materialized once) — the
+        # all-in-one SQL re-expanded the shingle chain per CTE reference
+        pairs = dataprep.minhash_pairs(self.spark, "dpi_union", "dpi_mh")
         # loser = greater id of a >=threshold pair; old docs have smaller
         # ids (ingest order == id order), so only NEW docs can lose here
         losers = pairs.join(

@@ -158,7 +158,9 @@ def build_dataprep(
     exact = _ckpt(spark.sql(_exact_keep_sql_spark("dp_filtered")))
     exact.createOrReplaceTempView("dp_exact")
 
-    pairs = spark.sql(dataprep.dedup_minhash_sql_spark("dp_exact"))
+    # staged builder (shingles/sizes/bands materialized once) — the
+    # all-in-one SQL re-expanded the shingle chain per CTE reference
+    pairs = dataprep.minhash_pairs(spark, "dp_exact", "dp_mh")
     if cluster_dedup:
         # cluster-level keep: connected components over the pair graph,
         # drop every non-canonical member. Strictly stronger than the

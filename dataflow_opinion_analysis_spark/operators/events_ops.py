@@ -33,14 +33,20 @@ def _view(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def statngram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """n-gram corpus statistics, n=1..{NGRAM_MAX_N}."""
+    """n-gram corpus statistics, n=1..{NGRAM_MAX_N}.
+
+    The one-file corpus scan is spread to shuffle width before the
+    CPU-bound tokenize/explode (otherwise the whole gram explosion runs
+    on the scan's two input partitions)."""
     _view(spark, sf_dir, "documents")
+    width = spark.sparkContext.defaultParallelism * 2
     ngram_arrays = ", ".join(
         spark_shingles(n) for n in range(1, NGRAM_MAX_N + 1)
     )
     return spark.sql(
         f"""
-WITH toks AS (SELECT doc_id, {SPARK_TOKENS} AS toks FROM documents),
+WITH toks AS (SELECT /*+ REPARTITION({width}) */ doc_id, {SPARK_TOKENS} AS toks
+              FROM documents),
 grams AS (
   SELECT doc_id, explode(flatten(array({ngram_arrays}))) AS ngram
   FROM toks

@@ -55,22 +55,65 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return df
 
 
+# one materialized double-cast projection of the embeddings table per
+# (session, sf_dir): every PQ/IVF/LSH/brute-force query builds on the same
+# narrow (vec_id, v) relation, and without it each query's `v` CTE
+# re-scanned the one-file parquet (2 input partitions), pinning the
+# interpreted higher-order-function stages (plane dots, k-means assigns,
+# PQ distances) to two tasks regardless of core count.
+_V_CACHE: dict[tuple, object] = {}
+
+
+def _emb_v(spark: SparkSession, sf_dir: str) -> None:
+    """Register `emb_v` = checkpointed, core-spread
+    (vec_id, v: array<double>) over THIS sf_dir's embeddings. The view is
+    re-bound on every call (same contract as ivf_fit_centroids: a cache
+    hit must not leave the view pointing at another corpus)."""
+    key = (id(spark), sf_dir, "emb_v")
+    _emb(spark, sf_dir)
+    if key not in _V_CACHE:
+        base = spark.sql(
+            "SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v "
+            "FROM embeddings"
+        )
+        width = spark.sparkContext.defaultParallelism
+        if base.rdd.getNumPartitions() < width:
+            base = base.repartition(width)
+        _V_CACHE[key] = base.localCheckpoint(eager=True)
+    _V_CACHE[key].createOrReplaceTempView("emb_v")
+
+
 # ordered fold: dot(a,b) with left-to-right summation (reproducible FP)
 DOT = (
     "aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0.0 AS double), (acc, x) -> acc + x)"
 )
 NORM = "sqrt(aggregate(transform({c}.v, x -> x * x), cast(0.0 AS double), (acc, x) -> acc + x))"
 
+EMB_DIM = 64
+
+
+def _norm_unrolled(c: str) -> str:
+    """NORM's fold as a flat left-associative chain starting at the 0.0
+    literal: `sqrt(0.0 + c[0]*c[0] + c[1]*c[1] + ...)` parses as
+    ((0.0 + x0) + x1) + ... — the EXACT summation tree of the
+    aggregate() fold in NORM, so the double result is bit-identical.
+    Used only for the once-per-vector norm materialization. (An unrolled
+    DOT was measured for the per-pair verify and REJECTED: the flat
+    128-node expression evaluates ~6x slower than the fold's tight
+    internal loop — 21.8s vs 3.3s over 11.9M pairs at sf1.0.)"""
+    terms = " + ".join(f"{c}[{d}] * {c}[{d}]" for d in range(EMB_DIM))
+    return f"sqrt(cast(0.0 AS double) + {terms})"
+
 
 def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Cosine top-{TOP_K} for the first {N_QUERIES} vectors against the
     whole table (excluding self). Ranks use the 6-dp-rounded similarity
     with vec_id tie-break so ordering is FP-noise-proof."""
-    _emb(spark, sf_dir)
+    _emb_v(spark, sf_dir)
     return spark.sql(
         f"""
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 q AS (SELECT * FROM v WHERE vec_id < {N_QUERIES}),
 sims AS (
@@ -93,7 +136,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN via random-hyperplane LSH: {LSH_PLANES}-bit bucket per vector,
     candidates restricted to the query's bucket, top-{ANN_TOP_K} by cosine
     within it. The bucket key is an equi-join key — the scale path."""
-    _emb(spark, sf_dir)
+    _emb_v(spark, sf_dir)
     plane_sign = " + ".join(
         f"(CASE WHEN aggregate(zip_with(v, planes.p{i}, (x, y) -> x * y), "
         f"cast(0.0 AS double), (acc, x) -> acc + x) > 0 THEN {1 << i} ELSE 0 END)"
@@ -107,7 +150,7 @@ def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"""
 WITH planes AS (SELECT {plane_arrays}),
 v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 bucketed AS (
   SELECT vec_id, v, ({plane_sign}) AS bucket
@@ -236,17 +279,22 @@ def _emb_dup_build(spark: SparkSession, sf_dir: str, n_bands: int) -> DataFrame:
     aug_view = f"emb_aug_{n_bands}"
     bands_view = f"emb_bands_{n_bands}"
     base.createOrReplaceTempView(base_view)
-    # aug stays a view (re-expanding the cheap union/perturb per reference
-    # only re-reads the checkpoint, never the table)
-    spark.sql(
+    # aug is MATERIALIZED (reads only the base checkpoint, so the table is
+    # still scanned once) with the per-vector norm precomputed: the verify
+    # join used to re-run the 64-dim norm fold twice per CANDIDATE PAIR —
+    # 2/3 of that stage's interpreted-HOF work at sf1.0 — where one norm
+    # per vector is enough. Same double value, same fold order.
+    aug = spark.sql(
         f"""
-CREATE OR REPLACE TEMPORARY VIEW {aug_view} AS
-SELECT vec_id, v FROM {base_view}
-UNION ALL
-SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id, {_PERTURB_SPARK} AS v
-FROM {base_view} WHERE vec_id % {COSINE_DUP_EVERY} = 3
+SELECT vec_id, v, {_norm_unrolled('v')} AS nrm FROM (
+  SELECT vec_id, v FROM {base_view}
+  UNION ALL
+  SELECT vec_id + {COSINE_DUP_OFFSET} AS vec_id, {_PERTURB_SPARK} AS v
+  FROM {base_view} WHERE vec_id % {COSINE_DUP_EVERY} = 3
+)
 """
-    )
+    ).localCheckpoint(eager=True)
+    aug.createOrReplaceTempView(aug_view)
     # the expensive dot-products-per-row signature pass runs ONCE and is
     # checkpointed before the self-join references it twice
     bands = spark.sql(
@@ -270,17 +318,32 @@ FROM sigs LATERAL VIEW posexplode(buckets) t AS band, bucket
 """
     ).localCheckpoint(eager=True)
     bands.createOrReplaceTempView(bands_view)
+    # The bucket self-join emits candidates from a few-MB banded relation:
+    # pin its exchanges at shuffle width (scale-adaptive, from the session
+    # core count) or AQE coalesces the CPU-bound candidate stage down to a
+    # handful of tasks (bytes-based sizing cannot see the join fan-out).
+    # The verify step BROADCASTS the vector table into both attach joins:
+    # the sort-merge alternative shuffles every candidate pair a second
+    # time CARRYING the first side's 64-double vector (measured 6.5 GB /
+    # 26s for 11.9M pairs at sf1.0 vs 3.3s broadcast). At corpus sizes
+    # past broadcastability drop the hints and the attach degrades
+    # gracefully to the shuffled join — candidates x vectors is the
+    # inherent verify cost of LSH dedup at scale (guide §8: this is the
+    # ONE shuffle that must carry payloads; everything before it moves
+    # only ids and buckets).
+    width = spark.sparkContext.defaultParallelism * 2
     return spark.sql(
         f"""
 WITH cand AS (
   SELECT a.vec_id AS doc_a, b.vec_id AS doc_b, count(*) AS n_bands
-  FROM {bands_view} a JOIN {bands_view} b
+  FROM (SELECT /*+ REPARTITION({width}, band, bucket) */ * FROM {bands_view}) a
+  JOIN (SELECT /*+ REPARTITION({width}, band, bucket) */ * FROM {bands_view}) b
     ON a.band = b.band AND a.bucket = b.bucket AND a.vec_id < b.vec_id
   GROUP BY a.vec_id, b.vec_id
 ),
 pairs AS (
-  SELECT c.doc_a, c.doc_b, c.n_bands,
-    round({DOT} / ({NORM.format(c='a')} * {NORM.format(c='b')}), 6) AS cosine
+  SELECT /*+ BROADCAST(a), BROADCAST(b) */ c.doc_a, c.doc_b, c.n_bands,
+    round({DOT} / (a.nrm * b.nrm), 6) AS cosine
   FROM cand c JOIN {aug_view} a ON a.vec_id = c.doc_a
               JOIN {aug_view} b ON b.vec_id = c.doc_b
 )
@@ -376,7 +439,7 @@ def _ivf_fit_sql_spark() -> str:
     ctes = ",\n".join(parts)
     return f"""
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 {ctes}
 SELECT cent_id, c FROM cent{IVF_ITERS}
@@ -401,7 +464,7 @@ def ivf_fit_centroids(spark: SparkSession, sf_dir: str) -> list[tuple[int, list[
     # must not leave the serving query bound to whatever corpus another
     # call registered last (the model would silently quantize foreign
     # vectors). Registration is a view-pointer swap, no scan.
-    _emb(spark, sf_dir)
+    _emb_v(spark, sf_dir)
     if key not in _FIT_CACHE:
         rows = spark.sql(_ivf_fit_sql_spark()).collect()
         _FIT_CACHE[key] = sorted(
@@ -424,7 +487,7 @@ def _ivf_serve_prefix(cents) -> str:
     """Shared serving CTEs: literal centroid relation -> scored -> assigned."""
     return f"""
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 cent AS ({_cent_literal_sql(cents)}),
 scored AS (
@@ -507,11 +570,11 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     runs at parquet-scan speed and the int8 output column is what an ANN
     serving tier ships to disk. Beyond-reference training-data op (same
     family as dedup_embedding_cosine / similarity_ann_*)."""
-    _emb(spark, sf_dir)
+    _emb_v(spark, sf_dir)
     return spark.sql(
         """
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 s AS (
   SELECT vec_id, v, array_max(transform(v, x -> abs(x))) / 127.0 AS scale0 FROM v
@@ -608,7 +671,7 @@ def _pq_fit_sql_spark() -> str:
     ctes = ",\n".join(parts)
     return f"""
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 {ctes}
 SELECT m, code_id, c FROM pcent{PQ_ITERS}
@@ -622,7 +685,7 @@ def pq_fit_codebooks(
     sorted — PQ_M * PQ_K rows, bounded at any input scale. Memoized per
     (session, sf_dir) — see _FIT_CACHE."""
     key = (id(spark), sf_dir, "pq")
-    _emb(spark, sf_dir)  # always rebind the view — see ivf_fit_centroids
+    _emb_v(spark, sf_dir)  # always rebind the view — see ivf_fit_centroids
     if key not in _FIT_CACHE:
         rows = spark.sql(_pq_fit_sql_spark()).collect()
         _FIT_CACHE[key] = sorted(
@@ -651,7 +714,7 @@ def embedding_quantize_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 sub AS (
   SELECT vec_id, m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS s
@@ -692,7 +755,7 @@ def similarity_ann_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         f"""
 WITH v AS (
-  SELECT vec_id, transform(embedding, x -> cast(x AS double)) AS v FROM embeddings
+  SELECT vec_id, v FROM emb_v
 ),
 sub AS (
   SELECT vec_id, m, slice(v, m * {PQ_SUB_DIM} + 1, {PQ_SUB_DIM}) AS s

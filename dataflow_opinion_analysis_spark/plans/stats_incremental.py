@@ -72,7 +72,13 @@ class DailyStatsStore:
         return self._commit(daily_sql(self.name, _p_sql_for_markers(markers)))
 
     def _commit(self, sql: str) -> int:
-        df = self.spark.sql(sql)
+        # cluster by the partition column before the partitioned write:
+        # without it every shuffle partition holds rows of every affected
+        # day and the dynamic overwrite emits (#shuffle partitions x #days)
+        # tiny files (~8k files for a 131-day refresh at sf1.0, 24-26s);
+        # clustered, each day is one task's contiguous write (guide §6
+        # output file sizing). Rows are identical, only the layout changes.
+        df = self.spark.sql(sql).repartition("SnapshotDateId")
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
