@@ -169,12 +169,15 @@ def pagerank_impact(
     # without the barrier), edges in every contribution join
     nodes = nodes.localCheckpoint(eager=True)
     edges = edges.localCheckpoint(eager=True)
-    outdeg = edges.groupBy("src").agg(F.count("*").alias("outdeg"))
-    outdeg = outdeg.localCheckpoint(eager=True)
+    # edges x outdeg is loop-invariant: join it ONCE and checkpoint, so
+    # each iteration pays a single join (ranks) instead of two
+    edges_deg = edges.join(
+        edges.groupBy("src").agg(F.count("*").alias("outdeg")), "src"
+    ).localCheckpoint(eager=True)
     r = nodes.select("node", F.lit(1_000_000).cast("long").alias("rank_micro"))
     for _ in range(iters):
         contrib = (
-            edges.join(outdeg, "src")
+            edges_deg
             .join(r.withColumnRenamed("node", "src"), "src")
             .select(
                 F.col("dst").alias("node"),

@@ -28,6 +28,8 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
+from dataflow_opinion_analysis_spark.session import scratch_checkpoint
+
 TOKEN_RE = "[a-z0-9']+"
 SHINGLE_N = 3
 JACCARD_THRESHOLD = 0.2
@@ -140,7 +142,8 @@ FROM (SELECT doc_id, explode({SPARK_SHINGLES}) AS shingle
             FROM {rel}))
 WHERE shingle <> ''
 """
-    ).localCheckpoint(eager=True)
+    )
+    raw = scratch_checkpoint(raw)
     raw.createOrReplaceTempView(f"{prefix}_raw_shingles")
     shingles = spark.sql(
         f"""
@@ -150,11 +153,13 @@ JOIN (SELECT shingle FROM {prefix}_raw_shingles GROUP BY shingle
       HAVING count(*) <= {MAX_SHINGLE_DF}) r
   ON r.shingle = s.shingle
 """
-    ).localCheckpoint(eager=True)
+    )
+    shingles = scratch_checkpoint(shingles)
     shingles.createOrReplaceTempView(f"{prefix}_shingles")
     sizes = spark.sql(
         f"SELECT doc_id, count(*) AS n_sh FROM {prefix}_shingles GROUP BY doc_id"
-    ).localCheckpoint(eager=True)
+    )
+    sizes = scratch_checkpoint(sizes)
     sizes.createOrReplaceTempView(f"{prefix}_sizes")
 
 
@@ -253,7 +258,8 @@ SELECT doc_id, bb.band AS band, bb.band_key AS band_key
 FROM sig
 LATERAL VIEW explode(array({band_structs})) t AS bb
 """
-    ).localCheckpoint(eager=True)
+    )
+    bands = scratch_checkpoint(bands)
     bands.createOrReplaceTempView(f"{prefix}_bands")
     return spark.sql(
         f"""
@@ -686,7 +692,8 @@ FROM (SELECT doc_id, explode({SPARK_TOKENS}) AS token
       FROM (SELECT /*+ REPARTITION({width}) */ doc_id, text FROM documents))
 GROUP BY doc_id, token
 """
-    ).localCheckpoint(eager=True)
+    )
+    tf = scratch_checkpoint(tf)
     tf.createOrReplaceTempView("bm25_tf")
     n_sq = "(SELECT CAST(count(*) AS BIGINT) FROM documents)"
     avgdl_sq = "(SELECT CAST(sum(dl) AS DOUBLE) / count(*) FROM dl)"
@@ -839,7 +846,8 @@ def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
 FROM (SELECT /*+ REPARTITION({width}) */ doc_id,
              concat(' ', array_join({SPARK_TOKENS}, '  '), ' ') AS s
       FROM documents)"""
-    ).localCheckpoint(eager=True)
+    )
+    state = scratch_checkpoint(state)
 
     pairs_expr = (
         "CASE WHEN size(t) >= 2 THEN "
@@ -859,10 +867,10 @@ GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1"""
         lit = pair.replace("'", "''")
         pat = " " + lit.replace(" ", "  ") + " "
         rep = " " + lit.replace(" ", "_") + " "
-        state = spark.sql(
+        state = scratch_checkpoint(spark.sql(
             f"""SELECT doc_id, s, split(trim(s), '  ') AS t
 FROM (SELECT doc_id, regexp_replace(s, '{pat}', '{rep}') AS s FROM bpe_state)"""
-        ).localCheckpoint(eager=True)
+        ))
         state.createOrReplaceTempView("bpe_state")
         st = spark.sql(
             """SELECT cast(count(tok) AS bigint) AS nt,

@@ -175,13 +175,18 @@ CalcStatSentiments AS (
   JOIN webresource wrRepost ON wrRepost.DocumentHash = d.DocumentHash
 ),
 CalcStatTopics AS (
+  -- count(DISTINCT x) spelled size(collect_set(x)): identical value
+  -- (both skip NULLs; cast restores the BIGINT type) but all six
+  -- distinct counts ride the ONE hash aggregate that already builds
+  -- the collect_set arrays below — the count(DISTINCT) form planned an
+  -- Expand that replicated every input row 7x before the shuffle
   SELECT SnapshotDateId, Tag AS Topic, array(Tag) AS Tags, GoodAsTopic, 1 AS TagCount,
-    count(DISTINCT OrigDomain)            AS cntOrigPublishers,
-    count(DISTINCT RepostWebResourceHash) AS cntRepostWRs,
-    count(DISTINCT CASE WHEN Valence = 1 THEN SentimentHash END) AS cntPositives,
-    count(DISTINCT CASE WHEN Valence = 2 THEN SentimentHash END) AS cntNegatives,
-    count(DISTINCT CASE WHEN Valence = 3 THEN SentimentHash END) AS cntAmbiguous,
-    count(DISTINCT CASE WHEN Valence = 5 THEN SentimentHash END) AS cntGeneral,
+    cast(size(collect_set(OrigDomain)) AS bigint)            AS cntOrigPublishers,
+    cast(size(collect_set(RepostWebResourceHash)) AS bigint) AS cntRepostWRs,
+    cast(size(collect_set(CASE WHEN Valence = 1 THEN SentimentHash END)) AS bigint) AS cntPositives,
+    cast(size(collect_set(CASE WHEN Valence = 2 THEN SentimentHash END)) AS bigint) AS cntNegatives,
+    cast(size(collect_set(CASE WHEN Valence = 3 THEN SentimentHash END)) AS bigint) AS cntAmbiguous,
+    cast(size(collect_set(CASE WHEN Valence = 5 THEN SentimentHash END)) AS bigint) AS cntGeneral,
     sort_array(collect_set(SentimentHash))       AS SentimentHashes,
     sort_array(collect_set(OrigWebResourceHash)) AS OrigWebResourceHashes,
     sort_array(collect_set(RepostWebResourceHash)) AS RepostWebResourceHashes
@@ -191,12 +196,12 @@ CalcStatTopics AS (
 CalcStatCombiTopics AS (
   SELECT stc.SnapshotDateId, concat(stc.Tag1, ' & ', stc.Tag2) AS Topic,
          array(stc.Tag1, stc.Tag2) AS Tags, true AS GoodAsTopic, 2 AS TagCount,
-    count(DISTINCT wrOrig.Domain)          AS cntOrigPublishers,
-    count(DISTINCT wrRepost.WebResourceHash) AS cntRepostWRs,
-    count(DISTINCT CASE WHEN s.DominantValence = 1 THEN s.SentimentHash END) AS cntPositives,
-    count(DISTINCT CASE WHEN s.DominantValence = 2 THEN s.SentimentHash END) AS cntNegatives,
-    count(DISTINCT CASE WHEN s.DominantValence = 3 THEN s.SentimentHash END) AS cntAmbiguous,
-    count(DISTINCT CASE WHEN s.DominantValence = 5 THEN s.SentimentHash END) AS cntGeneral,
+    cast(size(collect_set(wrOrig.Domain)) AS bigint)            AS cntOrigPublishers,
+    cast(size(collect_set(wrRepost.WebResourceHash)) AS bigint) AS cntRepostWRs,
+    cast(size(collect_set(CASE WHEN s.DominantValence = 1 THEN s.SentimentHash END)) AS bigint) AS cntPositives,
+    cast(size(collect_set(CASE WHEN s.DominantValence = 2 THEN s.SentimentHash END)) AS bigint) AS cntNegatives,
+    cast(size(collect_set(CASE WHEN s.DominantValence = 3 THEN s.SentimentHash END)) AS bigint) AS cntAmbiguous,
+    cast(size(collect_set(CASE WHEN s.DominantValence = 5 THEN s.SentimentHash END)) AS bigint) AS cntGeneral,
     sort_array(collect_set(s.SentimentHash))        AS SentimentHashes,
     sort_array(collect_set(wrOrig.WebResourceHash)) AS OrigWebResourceHashes,
     sort_array(collect_set(wrRepost.WebResourceHash)) AS RepostWebResourceHashes
@@ -237,8 +242,8 @@ s1x AS (
 s1 AS (SELECT s1x.* FROM s1x JOIN p ON p.SnapshotDateId = s1x.SnapshotDateId),
 s2 AS (
   SELECT s1.SnapshotDateId, s1.DocumentHash, s1.DocumentCollectionId, s1.CollectionItemId,
-    count(DISTINCT w.WebResourceHash)   AS cntWRs,
-    count(DISTINCT w.Domain)            AS cntDomains,
+    cast(size(collect_set(w.WebResourceHash)) AS bigint) AS cntWRs,
+    cast(size(collect_set(w.Domain)) AS bigint)          AS cntDomains,
     sort_array(collect_list(w.Domain))  AS Domains,
     sort_array(collect_list(w.Url))     AS Urls
   FROM s1 JOIN webresource w

@@ -67,3 +67,27 @@ def get_spark(
     spark = b.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def scratch_checkpoint(df, storage_env: str = "SPARK_GRAFT_SCRATCH_LEVEL"):
+    """Eager localCheckpoint for staged ONE-SHOT intermediates (shingle
+    tables, LSH band relations, tf tables...) that are read a few times by
+    the queries built over them and then linger for the session (their
+    temp views keep the blocks referenced).
+
+    Default storage DISK_ONLY, not the deserialized MEMORY_AND_DISK the
+    pipeline's shared _pin barriers use: a bench/driver session runs ~77
+    gates back-to-back and every gate's deserialized scratch blocks stay
+    pinned on the JVM heap for the rest of the run — measured 2-3x
+    slowdown of late-session queries from GC/storage pressure (stattopic
+    44s mid-session vs 15s fresh at sf1.0). DISK_ONLY blocks are
+    serialized bytes in spark.local.dir (tmpfs /dev/shm here — RAM speed,
+    zero heap residency); re-reads pay one deserialization, which the
+    A/B below showed is noise for relations consumed 1-3 times.
+    Override per-run via $SPARK_GRAFT_SCRATCH_LEVEL."""
+    import os as _os
+
+    from pyspark.storagelevel import StorageLevel
+
+    name = _os.environ.get(storage_env, "DISK_ONLY")
+    return df.localCheckpoint(eager=True, storageLevel=getattr(StorageLevel, name))
