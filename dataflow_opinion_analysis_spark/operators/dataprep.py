@@ -122,45 +122,63 @@ sizes AS (SELECT doc_id, count(*) AS n_sh FROM shingles GROUP BY doc_id)
 
 
 def _shingle_views(spark: SparkSession, prefix: str, rel: str = "documents") -> None:
-    """Materialize the DF-capped shingle relation + per-doc sizes over
-    ``rel`` ONCE (eager localCheckpoint) and register them as
-    ``{prefix}_shingles`` / ``{prefix}_sizes``.
+    """Stage the DF-capped shingle relation over ``rel`` ONCE, in
+    ARRAY-PER-DOC form, and register ``{prefix}_arrs`` (doc_id, sh array,
+    n_sh, h_arr hashed array) plus the long-form ``{prefix}_shingles`` /
+    ``{prefix}_sizes`` views (lazy projections of the arrays — identical
+    rows to the round-5 long-form checkpoints).
 
     Catalyst inlines multi-referenced CTEs once PER reference, so the
     all-in-one-SQL shapes re-ran the tokenize/shingle/DISTINCT/cap chain
     (and the documents scan under it) for every reference — 16 corpus
     scans in the ngram pair query, 24 in minhash at round 5. Staging is
-    the repo's _emb_dup_build fit-then-serve pattern; every stage's SQL
-    and its output rows are unchanged. The one-file corpus scan is
-    spread to shuffle width before the CPU-bound tokenize."""
+    the repo's _emb_dup_build fit-then-serve pattern.
+
+    The array form additionally removes three full shuffles the round-5
+    long form paid (probed at 12.8s of the 25s gate at the 10x scale):
+    per-doc shingle dedup is in-row ``array_distinct`` (the 2.6M-row
+    DISTINCT exchange disappears); the DF cap subtracts the HOT shingle
+    set — tiny by definition: shingles with df > {MAX_SHINGLE_DF} — as a
+    broadcast scalar subquery via ``array_except`` (the 2.6M-row
+    cap join disappears; the df aggregate itself stays but map-side
+    partial aggregation collapses it to the distinct-shingle count per
+    partition); and n_sh is ``size(sh)`` in-row (the sizes aggregate
+    disappears). Every value (shingle set per doc, n_sh) is identical;
+    sort_array pins a canonical in-array order."""
     width = spark.sparkContext.defaultParallelism * 2
-    raw = spark.sql(
+    arrs = spark.sql(
         f"""
-SELECT DISTINCT doc_id, shingle
-FROM (SELECT doc_id, explode({SPARK_SHINGLES}) AS shingle
-      FROM (SELECT /*+ REPARTITION({width}) */ doc_id, {SPARK_TOKENS} AS toks
-            FROM {rel}))
-WHERE shingle <> ''
+SELECT doc_id, array_remove(array_distinct({SPARK_SHINGLES}), '') AS arr
+FROM (SELECT /*+ REPARTITION({width}) */ doc_id, {SPARK_TOKENS} AS toks
+      FROM {rel})
 """
     )
-    raw = scratch_checkpoint(raw)
-    raw.createOrReplaceTempView(f"{prefix}_raw_shingles")
-    shingles = spark.sql(
+    arrs = scratch_checkpoint(arrs)
+    arrs.createOrReplaceTempView(f"{prefix}_doc_arrs")
+    capped = spark.sql(
         f"""
-SELECT s.doc_id, s.shingle
-FROM {prefix}_raw_shingles s
-JOIN (SELECT shingle FROM {prefix}_raw_shingles GROUP BY shingle
-      HAVING count(*) <= {MAX_SHINGLE_DF}) r
-  ON r.shingle = s.shingle
+SELECT doc_id,
+       sort_array(array_except(arr,
+         (SELECT coalesce(collect_set(shingle), array())
+          FROM (SELECT shingle
+                FROM (SELECT explode(arr) AS shingle FROM {prefix}_doc_arrs)
+                GROUP BY shingle HAVING count(*) > {MAX_SHINGLE_DF})))) AS sh
+FROM {prefix}_doc_arrs
 """
+    ).selectExpr(
+        "doc_id",
+        "sh",
+        "size(sh) AS n_sh",
+        "transform(sh, s -> cast(conv(substr(sha2(s, 256), 1, 8), 16, 10) AS bigint)) AS h_arr",
     )
-    shingles = scratch_checkpoint(shingles)
-    shingles.createOrReplaceTempView(f"{prefix}_shingles")
-    sizes = spark.sql(
-        f"SELECT doc_id, count(*) AS n_sh FROM {prefix}_shingles GROUP BY doc_id"
-    )
-    sizes = scratch_checkpoint(sizes)
-    sizes.createOrReplaceTempView(f"{prefix}_sizes")
+    capped = scratch_checkpoint(capped)
+    capped.createOrReplaceTempView(f"{prefix}_arrs")
+    spark.sql(
+        f"SELECT doc_id, explode(sh) AS shingle FROM {prefix}_arrs"
+    ).createOrReplaceTempView(f"{prefix}_shingles")
+    spark.sql(
+        f"SELECT doc_id, n_sh FROM {prefix}_arrs"
+    ).createOrReplaceTempView(f"{prefix}_sizes")
 
 
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -207,24 +225,37 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return minhash_pairs(spark, "documents", "mh")
 
 
+def _minhash_sig_sql(prefix: str) -> str:
+    """Per-ROW signature over the staged hashed-shingle arrays: each
+    permutation min is ``array_min(transform(h_arr, ...))`` — the same
+    integers as the round-5 ``min() ... GROUP BY doc_id`` aggregate over
+    the long form (min over an identical value multiset), but computed as
+    a narrow projection with NO aggregation exchange. ``n_sh > 0``
+    reproduces the aggregate's behavior of emitting no row for docs with
+    zero capped shingles (array_min of an empty array would be NULL and
+    empty docs must not collide in the band join)."""
+    mins_row = ",\n         ".join(
+        f"array_min(transform(h_arr, h -> (h * {2 * i + 1} + {i * i + 7}) % {MINHASH_P})) AS mh{i}"
+        for i in range(MINHASH_K)
+    )
+    return f"""
+  SELECT doc_id,
+         {mins_row}
+  FROM {prefix}_arrs WHERE n_sh > 0
+"""
+
+
 def minhash_bands(spark: SparkSession, rel: str = "documents", prefix: str = "mhb") -> DataFrame:
     """Staged twin of minhash_bands_sql_spark over ``rel``: identical
     rows, but the shingle chain is materialized once (see
-    _shingle_views) instead of re-expanding per CTE reference."""
+    _shingle_views) and the signature is a per-row array fold instead of
+    a grouped aggregate (see _minhash_sig_sql)."""
     _shingle_views(spark, prefix, rel)
-    mins, band_structs = _minhash_parts()
+    _, band_structs = _minhash_parts()
     return spark.sql(
         f"""
-WITH hashed AS (
-  SELECT doc_id,
-         cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
-  FROM {prefix}_shingles
-),
-sig AS (
-  SELECT doc_id,
-         {mins}
-  FROM hashed
-  GROUP BY doc_id
+WITH sig AS (
+{_minhash_sig_sql(prefix)}
 )
 SELECT doc_id, bb.band AS band, bb.band_key AS band_key
 FROM sig
@@ -240,19 +271,11 @@ def minhash_pairs(spark: SparkSession, rel: str = "documents", prefix: str = "mh
     reference. Shared by the gate, the composed/incremental dataprep
     pipelines and cluster dedup."""
     _shingle_views(spark, prefix, rel)
-    mins, band_structs = _minhash_parts()
+    _, band_structs = _minhash_parts()
     bands = spark.sql(
         f"""
-WITH hashed AS (
-  SELECT doc_id,
-         cast(conv(substr(sha2(shingle, 256), 1, 8), 16, 10) AS bigint) AS h
-  FROM {prefix}_shingles
-),
-sig AS (
-  SELECT doc_id,
-         {mins}
-  FROM hashed
-  GROUP BY doc_id
+WITH sig AS (
+{_minhash_sig_sql(prefix)}
 )
 SELECT doc_id, bb.band AS band, bb.band_key AS band_key
 FROM sig
@@ -261,6 +284,13 @@ LATERAL VIEW explode(array({band_structs})) t AS bb
     )
     bands = scratch_checkpoint(bands)
     bands.createOrReplaceTempView(f"{prefix}_bands")
+    # verification: candidate pairs attach the per-doc shingle ARRAYS and
+    # intersect in-row — size(array_intersect(sh_a, sh_b)) over the
+    # duplicate-free arrays is exactly the round-5 join-count n_common,
+    # without shuffling |cand| x |shingles-per-doc| long-form rows through
+    # a second aggregate (probed 5.5s of the 25s gate at the 10x scale;
+    # a zero-overlap candidate yields jaccard 0 and is dropped by the
+    # same threshold filter that dropped its absent join-count row)
     return spark.sql(
         f"""
 WITH cand AS (
@@ -268,19 +298,18 @@ WITH cand AS (
   FROM {prefix}_bands a JOIN {prefix}_bands b
     ON a.band = b.band AND a.band_key = b.band_key AND a.doc_id < b.doc_id
 ),
-common AS (
-  SELECT c.doc_a, c.doc_b, count(*) AS n_common
+j AS (
+  SELECT c.doc_a, c.doc_b,
+         size(array_intersect(a.sh, b.sh)) AS n_common,
+         a.n_sh AS na, b.n_sh AS nb
   FROM cand c
-  JOIN {prefix}_shingles a ON a.doc_id = c.doc_a
-  JOIN {prefix}_shingles b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
-  GROUP BY c.doc_a, c.doc_b
+  JOIN {prefix}_arrs a ON a.doc_id = c.doc_a
+  JOIN {prefix}_arrs b ON b.doc_id = c.doc_b
 )
-SELECT c.doc_a, c.doc_b,
-  round(c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double), 6) AS jaccard
-FROM common c
-JOIN {prefix}_sizes sa ON sa.doc_id = c.doc_a
-JOIN {prefix}_sizes sb ON sb.doc_id = c.doc_b
-WHERE c.n_common / cast(sa.n_sh + sb.n_sh - c.n_common AS double) >= {JACCARD_THRESHOLD}
+SELECT doc_a, doc_b,
+  round(n_common / cast(na + nb - n_common AS double), 6) AS jaccard
+FROM j
+WHERE n_common / cast(na + nb - n_common AS double) >= {JACCARD_THRESHOLD}
 """
     )
 
