@@ -901,11 +901,16 @@ GROUP BY pair ORDER BY c DESC, pair ASC LIMIT 1"""
 FROM (SELECT doc_id, regexp_replace(s, '{pat}', '{rep}') AS s FROM bpe_state)"""
         ))
         state.createOrReplaceTempView("bpe_state")
+        # two-level: count + count(DISTINCT) in one aggregate planned an
+        # Expand doubling the exploded token rows; the per-token partial
+        # collapses map-side to the (tiny) vocabulary and sum(c)/count(*)
+        # are the identical bigints
         st = spark.sql(
-            """SELECT cast(count(tok) AS bigint) AS nt,
-       cast(count(DISTINCT tok) AS bigint) AS nd
-FROM bpe_state LATERAL VIEW explode(t) x AS tok
-WHERE trim(s) <> ''"""
+            """SELECT cast(sum(c) AS bigint) AS nt,
+       cast(count(*) AS bigint) AS nd
+FROM (SELECT tok, count(*) AS c
+      FROM bpe_state LATERAL VIEW explode(t) x AS tok
+      WHERE trim(s) <> '' GROUP BY tok)"""
         ).collect()[0]
         rows.append((rnd, pair, cnt, int(st.nt), int(st.nd)))
     return spark.createDataFrame(

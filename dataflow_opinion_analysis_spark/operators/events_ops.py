@@ -50,12 +50,20 @@ WITH toks AS (SELECT /*+ REPARTITION({width}) */ doc_id, {SPARK_TOKENS} AS toks
 grams AS (
   SELECT doc_id, explode(flatten(array({ngram_arrays}))) AS ngram
   FROM toks
+),
+-- explicit two-level aggregate: count(*) + count(DISTINCT doc_id) in one
+-- GROUP BY planned an Expand that replicated every gram row 2x before
+-- the shuffle; the per-(ngram, doc_id) partial combines map-side and
+-- sum(c)/count(*) over it are the identical bigints
+per_doc AS (
+  SELECT ngram, doc_id, count(*) AS c
+  FROM grams WHERE ngram <> ''
+  GROUP BY ngram, doc_id
 )
 SELECT ngram,
-  count(*)                 AS CntOccurrences,
-  count(DISTINCT doc_id)   AS CntDocs
-FROM grams
-WHERE ngram <> ''
+  sum(c)   AS CntOccurrences,
+  count(*) AS CntDocs
+FROM per_doc
 GROUP BY ngram
 """
     )
@@ -352,15 +360,27 @@ def tpch_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         _view(spark, sf_dir, t)
     return spark.sql(
         """
-WITH rev AS (
+WITH per_order AS (
   -- per-row exact integer cents, then an order-free integer sum: float
-  -- summation order differs between engines/partitions, integers don't
+  -- summation order differs between engines/partitions, integers don't.
+  -- Aggregating per order BEFORE the orders join (guide-style map-side
+  -- reduction) shrinks the join's lineitem side to one row per order
+  -- AND removes the Expand the mixed sum + count(DISTINCT o_orderkey)
+  -- aggregate planned (2x the 6M-row join output through the shuffle)
+  SELECT l_orderkey,
+         sum(cast(round(l_extendedprice * (1 - l_discount) * 10000) AS bigint)) AS order_rev
+  FROM lineitem
+  GROUP BY l_orderkey
+),
+rev AS (
+  -- n_orders == count(DISTINCT o_orderkey) of the old row-level join:
+  -- per_order carries exactly one row per order with >= 1 lineitem
   SELECT o.o_custkey,
-         sum(cast(round(l.l_extendedprice * (1 - l.l_discount) * 10000) AS bigint)) AS revenue_c,
-         count(DISTINCT o.o_orderkey) AS n_orders
-  FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+         sum(p.order_rev) AS revenue_c,
+         count(*) AS n_orders
+  FROM per_order p JOIN orders o ON o.o_orderkey = p.l_orderkey
   GROUP BY o.o_custkey
-  HAVING count(DISTINCT o.o_orderkey) >= 2
+  HAVING count(*) >= 2
 ),
 top100 AS (
   -- TakeOrderedAndProject: distributed partial top-k, no global window

@@ -49,7 +49,10 @@ from dataflow_opinion_analysis_spark.functions import scorer
 from dataflow_opinion_analysis_spark.operators import dedupe, fanout, ingest
 from dataflow_opinion_analysis_spark.streaming import dedupe_state
 from dataflow_opinion_analysis_spark.sources.transcripts import read_transcripts_stream
-from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
+from dataflow_opinion_analysis_spark.tables.mergetable import (
+    ConcurrentCommitError,
+    MergeTable,
+)
 
 # extra column on the document sink: the exact-dedupe content hash, so
 # later micro-batches can anti-join against everything already indexed
@@ -599,7 +602,13 @@ def run_indexer_stream(
         if auto_compact_files:
             ci = sinks.content_index
             if len(ci.current_snapshot()["files"]) >= auto_compact_files:
-                ci.compact_small_files(min_files=2)
+                try:
+                    ci.compact_small_files(min_files=2)
+                except ConcurrentCommitError:
+                    # pure maintenance, safely retryable next trigger: a
+                    # stale orphaned merge thread's late commit must not
+                    # surface out of foreachBatch and fail the stream
+                    pass
 
     q = (
         assembled.writeStream.foreachBatch(_fb)

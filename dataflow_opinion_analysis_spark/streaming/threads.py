@@ -168,13 +168,17 @@ def assemble_threads_fn(
 
     # bound the seen-pairs set. Eviction is fence-aware, in priority
     # order:
-    # 1. EMITTED at/above-watermark pairs are kept first — they are the
+    # 1. EMITTED at/above-watermark pairs are ALL kept — they are the
     #    sole fence against re-admission as 'ok'/'overflow' (a just-
     #    overflowed batch holds > PENDING_CAP above-wm pairs, far over
     #    SEEN_CAP, and the overflow-EMITTED ones are precisely the pairs
-    #    that must survive; recency-clamped only if > SEEN_CAP versions
-    #    were emitted above the watermark — overflow emits oldest-first,
-    #    so emitted pairs age below the watermark and free the budget);
+    #    that must survive). They are deliberately NOT clamped to
+    #    SEEN_CAP: evicting an emitted above-wm pair would re-admit its
+    #    redelivery as 'ok'/'overflow' and commit duplicate keys through
+    #    the assume_new sinks. The set stays bounded anyway — emitted
+    #    pairs age below the watermark (freeing the budget) and one call
+    #    can add at most its own batch's emissions, so the transient
+    #    excess is O(overflow batch), never O(history);
     # 2. still-PENDING above-wm pairs next — pkeys double-covers them
     #    while pending, and the emission re-add above restores their
     #    fence entry if evicted here;
@@ -194,10 +198,6 @@ def assemble_threads_fn(
                     emitted_crit.append((ti, t))
             elif old_latest.get(ti, -1) < t:
                 old_latest[ti] = t
-        if len(emitted_crit) > SEEN_CAP:
-            emitted_crit = sorted(
-                emitted_crit, key=lambda p: (p[1], p[0])
-            )[-SEEN_CAP:]
         keep = emitted_crit
         room = SEEN_CAP - len(keep)
         if room > 0 and pending_crit:

@@ -285,8 +285,13 @@ def run_windowed_agg_table(
     """
     from dataflow_opinion_analysis_spark.tables.mergetable import MergeTable
 
+    # explicit schema: an input that produced no finalized window must
+    # still leave a readable (empty) table — without it read() raises
+    # "empty table and no schema given"
     table = MergeTable(
-        spark, store_path, key_cols=["window_start", "event_type"]
+        spark, store_path, key_cols=["window_start", "event_type"],
+        schema=("window_start timestamp, event_type string, n bigint, "
+                "total_value_c bigint, n_users_approx bigint"),
     )
     sdf = sliding_agg_stream(
         spark.readStream.schema(schema)
@@ -324,6 +329,7 @@ def events_cagg_stream(spark, sf_dir: str) -> DataFrame:
     aggregate."""
     import datetime as _dt
     import os as _os
+    import shutil as _sh
     import tempfile as _tf
 
     root = _tf.mkdtemp(prefix="cagg_gate_")
@@ -347,7 +353,7 @@ def events_cagg_stream(spark, sf_dir: str) -> DataFrame:
         ).coalesce(1).write.mode("append").parquet(src)
         q.processAllAvailable()
     q.stop()
-    return (
+    out = (
         table.read()
         .filter(F.col("window_start") < "2029-01-01")
         .select(
@@ -355,3 +361,10 @@ def events_cagg_stream(spark, sf_dir: str) -> DataFrame:
             "event_type", "n", "total_value_c",
         )
     )
+    # materialize, then remove the per-invocation temp root (input copy,
+    # store, checkpoint) — the gate used to leak it every call
+    from dataflow_opinion_analysis_spark.session import scratch_checkpoint
+
+    out = scratch_checkpoint(out)
+    _sh.rmtree(root, ignore_errors=True)
+    return out

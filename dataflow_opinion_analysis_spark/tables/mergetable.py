@@ -597,12 +597,16 @@ class MergeTable:
             "rows": n,
             "ts": time.time(),
         }
-        self._commit_batch(
+        landed = self._commit_batch(
             self._next_snap(snap, snap["files"] + [fe], entry,
                             batch_columns=batch.columns),
             batch_id,
         )
-        return n
+        # a lost same-batch twin race means THIS writer's commit never
+        # landed (its data dir is an orphan for vacuum) — report 0 so the
+        # caller's row accounting matches what the table actually gained
+        # from this call
+        return n if landed else 0
 
     # -- REPLACE (compaction) --------------------------------------------------
     def replace(self, df: DataFrame, note: str = "compaction") -> int:
@@ -707,7 +711,13 @@ class MergeTable:
         # coalesce, not repartition: binpacking needs no shuffle
         df.coalesce(nparts).write.mode("overwrite").parquet(out_file)
 
-        rows = sum(int(fe.get("rows") or 0) for fe, _ in smalls)
+        if all(fe.get("rows") is not None for fe, _ in smalls):
+            rows = sum(int(fe["rows"]) for fe, _ in smalls)
+        else:
+            # legacy/stat-less manifest entries: counting the packed file
+            # is the only honest number (a silent `or 0` fold undercounts
+            # snapshots() row reporting after compacting old history)
+            rows = self.spark.read.parquet(out_file).count()
         stats = {}
         if self.partition_col is not None:
             los = [fe.get("min_part") for fe, _ in smalls]

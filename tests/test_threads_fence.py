@@ -313,3 +313,36 @@ def test_fence_property_random_schedules(monkeypatch):
                 assert nonlate.get(v, 0) == 0 and late.get(v, 0) >= 1
 
     check()
+
+
+def test_overflow_storm_keeps_every_emitted_fence_pair():
+    """Overflow storm: one call leaves MORE than SEEN_CAP emitted
+    above-watermark pairs. The fence must retain them ALL — the old
+    recency clamp evicted the oldest emitted pairs, so a redelivery of
+    an overflow-emitted version was re-admitted and emitted a second
+    time (duplicate keys through the assume_new sinks; ADVICE round-5
+    medium finding)."""
+    from dataflow_opinion_analysis_spark.streaming.threads import (
+        PENDING_CAP,
+        SEEN_CAP,
+    )
+
+    wm = 1000 * US
+    n = PENDING_CAP + SEEN_CAP + 1000  # overflow emits SEEN_CAP + 1000
+    st = FakeState(wm_ms=wm // 1000)
+    rows = [(i, wm + (i + 1) * US) for i in range(n)]
+    out1 = _run(st, rows)
+    over1 = out1[out1["status"] == "overflow"]
+    assert len(over1) == SEEN_CAP + 1000  # > SEEN_CAP emitted above wm
+
+    # redeliver the OLDEST overflow-emitted versions (exactly the pairs
+    # the old clamp dropped) while they are still above the watermark
+    redelivered = [
+        (int(r.turn_idx), int(r.ts_us))
+        for r in over1.nsmallest(50, "ts_us").itertuples()
+    ]
+    out2 = _run(st, redelivered)
+    assert len(out2) == 0, (
+        f"{len(out2)} redelivered overflow versions re-admitted "
+        f"(statuses: {out2['status'].unique().tolist() if len(out2) else []})"
+    )
