@@ -149,6 +149,21 @@ FROM (SELECT explode(sequence(to_date(min(PublicationTime)),
 # ---------------------------------------------------------------------------
 # stattopic (daily) — single + combi topics (StatsCalcPipelineUtils.java:59-138)
 # ---------------------------------------------------------------------------
+# SentimentTags is read by BOTH SentimentTagCombos and CalcStatSentiments:
+# Catalyst inlines a multi-referenced CTE once per reference, so the
+# all-in-one SQL ran the p-join + Tags explode twice. The fragments below
+# compose the unchanged one-shot text (stattopic_sql) AND a staged runner
+# (stattopic_df) that materializes SentimentTags once behind a checkpoint.
+def _stattopic_head_sql(p_sql: str) -> str:
+    return f"""
+WITH p AS ({p_sql})
+SELECT p.SnapshotDateId, s.SentimentHash, t.Tag, t.GoodAsTopic, s.Tags AS Tags
+FROM p JOIN sentiment s ON s.DocumentDateId = p.SnapshotDateId
+LATERAL VIEW explode(s.Tags) tt AS t
+WHERE s.SentimentTotalScore > 0
+"""
+
+
 def stattopic_sql(p_sql: str = P_ALL_DAYS_SQL) -> str:
     return f"""
 WITH p AS ({p_sql}),
@@ -158,9 +173,23 @@ SentimentTags AS (
   LATERAL VIEW explode(s.Tags) tt AS t
   WHERE s.SentimentTotalScore > 0
 ),
-SentimentTagCombos AS (
+{_stattopic_tail_sql("SentimentTags")}"""
+
+
+def stattopic_df(spark, p_sql: str = P_ALL_DAYS_SQL):
+    """Staged twin of ``spark.sql(stattopic_sql(p_sql))`` — identical
+    rows; SentimentTags computed once."""
+    from dataflow_opinion_analysis_spark.session import scratch_checkpoint
+
+    head = scratch_checkpoint(spark.sql(_stattopic_head_sql(p_sql)))
+    head.createOrReplaceTempView("_stattopic_st")
+    return spark.sql(f"WITH {_stattopic_tail_sql('_stattopic_st')}")
+
+
+def _stattopic_tail_sql(st: str) -> str:
+    return f"""SentimentTagCombos AS (
   SELECT st.SnapshotDateId, st.SentimentHash, st.Tag AS Tag1, stt.Tag AS Tag2
-  FROM SentimentTags st LATERAL VIEW explode(st.Tags) x AS stt
+  FROM {st} st LATERAL VIEW explode(st.Tags) x AS stt
   WHERE st.Tag < stt.Tag
 ),
 CalcStatSentiments AS (
@@ -168,7 +197,7 @@ CalcStatSentiments AS (
          wrOrig.WebResourceHash AS OrigWebResourceHash, wrOrig.Domain AS OrigDomain,
          wrRepost.WebResourceHash AS RepostWebResourceHash,
          s.DominantValence AS Valence
-  FROM SentimentTags st
+  FROM {st} st
   JOIN sentiment s ON s.SentimentHash = st.SentimentHash AND s.DocumentDateId = st.SnapshotDateId
   JOIN document d ON d.DocumentHash = s.DocumentHash AND d.PublicationDateId = st.SnapshotDateId
   JOIN webresource wrOrig ON wrOrig.WebResourceHash = d.MainWebResourceHash
@@ -228,6 +257,23 @@ FROM CalcStatAllTopics
 # statstoryimpact (daily) — trailing-8-day doc window + wrsocialcount cntFb
 # (:158-216). The day-range predicate is an explode(sequence) equi-join.
 # ---------------------------------------------------------------------------
+# s1 is read by BOTH s2 and s3 (Catalyst re-expands it per reference) —
+# same fragment pattern as stattopic: one-shot text + staged runner.
+def _statstoryimpact_head_sql(p_sql: str) -> str:
+    return f"""
+WITH p AS ({p_sql}),
+s1x AS (
+  SELECT cast(date_format(sd, 'yyyyMMdd') AS int) AS SnapshotDateId,
+         d.DocumentHash, d.DocumentCollectionId, d.CollectionItemId
+  FROM document d
+  LATERAL VIEW explode(sequence(to_date(d.PublicationTime),
+                                date_add(to_date(d.PublicationTime), {IMPACT_WINDOW_DAYS}),
+                                interval 1 day)) t AS sd
+)
+SELECT s1x.* FROM s1x JOIN p ON p.SnapshotDateId = s1x.SnapshotDateId
+"""
+
+
 def statstoryimpact_sql(p_sql: str = P_ALL_DAYS_SQL) -> str:
     return f"""
 WITH p AS ({p_sql}),
@@ -240,13 +286,27 @@ s1x AS (
                                 interval 1 day)) t AS sd
 ),
 s1 AS (SELECT s1x.* FROM s1x JOIN p ON p.SnapshotDateId = s1x.SnapshotDateId),
-s2 AS (
+{_statstoryimpact_tail_sql("s1")}"""
+
+
+def statstoryimpact_df(spark, p_sql: str = P_ALL_DAYS_SQL):
+    """Staged twin of ``spark.sql(statstoryimpact_sql(p_sql))`` —
+    identical rows; s1 computed once."""
+    from dataflow_opinion_analysis_spark.session import scratch_checkpoint
+
+    head = scratch_checkpoint(spark.sql(_statstoryimpact_head_sql(p_sql)))
+    head.createOrReplaceTempView("_statstoryimpact_s1")
+    return spark.sql(f"WITH {_statstoryimpact_tail_sql('_statstoryimpact_s1')}")
+
+
+def _statstoryimpact_tail_sql(s1: str) -> str:
+    return f"""s2 AS (
   SELECT s1.SnapshotDateId, s1.DocumentHash, s1.DocumentCollectionId, s1.CollectionItemId,
     cast(size(collect_set(w.WebResourceHash)) AS bigint) AS cntWRs,
     cast(size(collect_set(w.Domain)) AS bigint)          AS cntDomains,
     sort_array(collect_list(w.Domain))  AS Domains,
     sort_array(collect_list(w.Url))     AS Urls
-  FROM s1 JOIN webresource w
+  FROM {s1} s1 JOIN webresource w
     ON w.DocumentHash = s1.DocumentHash
    AND w.PublicationDateId <= s1.SnapshotDateId
   GROUP BY 1, 2, 3, 4
@@ -254,7 +314,7 @@ s2 AS (
 s3 AS (
   SELECT s1.SnapshotDateId, s1.DocumentHash, s1.DocumentCollectionId, s1.CollectionItemId,
          w.WebResourceHash, max(sc.FbCount) AS cntFb
-  FROM s1
+  FROM {s1} s1
   JOIN webresource w ON w.DocumentHash = s1.DocumentHash
   LEFT JOIN wrsocialcount sc
     ON sc.WebResourceHash = w.WebResourceHash
@@ -276,17 +336,50 @@ FROM s2 JOIN s4
 # ---------------------------------------------------------------------------
 # statdomainopinions — per (Topic, Domain) Basic8 profile (:236-408)
 # ---------------------------------------------------------------------------
-def statdomainopinions_sql(min_docs: int = MIN_DOMAIN_DOCS, min_basic8: float = MIN_BASIC8) -> str:
-    week = "concat(cast(year(PublicationTime) AS string), '_', lpad(cast(weekofyear(PublicationTime) AS string), 2, '0'))"
-    st_sums = ",\n    ".join(f"sum({c}) AS {c}" for c in ST_COLUMNS)
-    emo8 = ["StJoy", "StAcceptance", "StFear", "StSurprise", "StSadness", "StDisgust", "StAnger", "StAnticipation"]
-    emo_ratio = ",\n    ".join(f"round({c} / Basic8Score, 2) AS {c}" for c in emo8)
-    emo_stats = ",\n    ".join(
-        f"round(avg({c}), 2) AS MeanSt{c[2:]},\n    round(coalesce(stddev_pop({c}), 0.0), 2) AS StdevSt{c[2:]}"
-        for c in emo8
-    )
+# s3 is read by BOTH s4 and s6 (Catalyst re-expands the whole
+# s1/s1a/s2/s3 chain per reference — probed at 2x the table's cost):
+# same fragment pattern as stattopic — one-shot text + staged runner.
+def _sdo_head_sql(min_docs: int) -> str:
     return f"""
-WITH s1 AS (
+WITH {_sdo_prefix_sql(min_docs)}
+{_sdo_s3_body()}
+"""
+
+
+def statdomainopinions_sql(min_docs: int = MIN_DOMAIN_DOCS, min_basic8: float = MIN_BASIC8) -> str:
+    return f"""
+WITH {_sdo_prefix_sql(min_docs)},
+s3 AS (
+{_sdo_s3_body()}
+),
+{_sdo_tail_sql("s3", min_basic8)}"""
+
+
+def statdomainopinions_df(spark, min_docs: int = MIN_DOMAIN_DOCS, min_basic8: float = MIN_BASIC8):
+    """Staged twin of ``spark.sql(statdomainopinions_sql(...))`` —
+    identical rows; the s1/s1a/s2/s3 chain runs once."""
+    from dataflow_opinion_analysis_spark.session import scratch_checkpoint
+
+    head = scratch_checkpoint(spark.sql(_sdo_head_sql(min_docs)))
+    head.createOrReplaceTempView("_sdo_s3")
+    return spark.sql(f"WITH {_sdo_tail_sql('_sdo_s3', min_basic8)}")
+
+
+_SDO_WEEK = "concat(cast(year(PublicationTime) AS string), '_', lpad(cast(weekofyear(PublicationTime) AS string), 2, '0'))"
+_SDO_EMO8 = ["StJoy", "StAcceptance", "StFear", "StSurprise", "StSadness", "StDisgust", "StAnger", "StAnticipation"]
+
+_SDO_ST_SUMS = ",\n    ".join(f"sum({c}) AS {c}" for c in ST_COLUMNS)
+_SDO_EMO_RATIO = ",\n    ".join(f"round({c} / Basic8Score, 2) AS {c}" for c in _SDO_EMO8)
+_SDO_EMO_STATS = ",\n    ".join(
+    f"round(avg({c}), 2) AS MeanSt{c[2:]},\n    round(coalesce(stddev_pop({c}), 0.0), 2) AS StdevSt{c[2:]}"
+    for c in _SDO_EMO8
+)
+
+
+def _sdo_prefix_sql(min_docs: int) -> str:
+    """The s1/s1a/s2 CTE list (shared by the one-shot text and the
+    staged head)."""
+    return f"""s1 AS (
   SELECT wr.Domain, count(DISTINCT DocumentHash) AS cntDocs
   FROM webresource wr
   GROUP BY 1 HAVING count(DISTINCT DocumentHash) > {min_docs}
@@ -315,27 +408,31 @@ s2 AS (
   FROM sentiment s
   JOIN webresource wr ON wr.DocumentHash = s.DocumentHash
   JOIN s1a ON s1a.Domain = wr.Domain
-),
-s3 AS (
-  SELECT
-    {week} AS PubWeek,
+)"""
+
+
+def _sdo_s3_body() -> str:
+    return f"""  SELECT
+    {_SDO_WEEK} AS PubWeek,
     Domain, IsTop50Domain, IsTop500Domain, ta AS Topic,
     sum(CASE WHEN Valence = 1 THEN 1 ELSE 0 END) AS cntPositives,
     sum(CASE WHEN Valence = 2 THEN 1 ELSE 0 END) AS cntNegatives,
     sum(CASE WHEN Valence = 3 THEN 1 ELSE 0 END) AS cntAmbiguous,
     sum(CASE WHEN Valence = 5 THEN 1 ELSE 0 END) AS cntGeneral,
     count(1) AS cntTotalMentions,
-    {st_sums},
+    {_SDO_ST_SUMS},
     greatest(cast(sum(StJoy + StAcceptance + StFear + StSurprise + StSadness + StDisgust + StAnger + StAnticipation) AS double), 0.01) AS Basic8Score,
     greatest(cast(sum(StJoy + StAcceptance + StSurprise + StAnticipation) AS double), 0.01) AS Positive4Score,
     greatest(cast(sum(StFear + StSadness + StDisgust + StAnger) AS double), 0.01)           AS Negative4Score
   FROM s2 LATERAL VIEW explode(s2.TopicArray) tt AS ta
   WHERE ta NOT IN (SELECT tp.Topic FROM topic tp WHERE tp.IsBlocked = 1)
-  GROUP BY 1, 2, 3, 4, 5
-),
-s4 AS (
+  GROUP BY 1, 2, 3, 4, 5"""
+
+
+def _sdo_tail_sql(s3: str, min_basic8: float) -> str:
+    return f"""s4 AS (
   SELECT Domain, Topic, sum(cntTotalMentions) AS cntTotalMentions
-  FROM s3 GROUP BY 1, 2
+  FROM {s3} s3 GROUP BY 1, 2
 ),
 s5 AS (
   SELECT Domain, Topic, cntTotalMentions,
@@ -352,8 +449,8 @@ s6 AS (
     s3.cntTotalMentions, s3.Basic8Score,
     cast(s3.cntPositives - s3.cntNegatives AS double) / greatest(cast(s3.cntTotalMentions AS double), 1.0) AS SentimentRatio,
     round((s3.Positive4Score - s3.Negative4Score) / s3.Basic8Score, 2) AS Basic8Ratio,
-    {emo_ratio}
-  FROM s3 JOIN s5 ON s5.Domain = s3.Domain AND s5.Topic = s3.Topic
+    {_SDO_EMO_RATIO}
+  FROM {s3} s3 JOIN s5 ON s5.Domain = s3.Domain AND s5.Topic = s3.Topic
 ),
 s7 AS (
   SELECT
@@ -367,7 +464,7 @@ s7 AS (
     round(sum(Basic8Score), 2) AS Basic8Score,
     round(avg(Basic8Ratio), 2) AS MeanBasic8Ratio,
     round(coalesce(stddev_pop(Basic8Ratio), 0.0), 2) AS StdevBasic8Ratio,
-    {emo_stats},
+    {_SDO_EMO_STATS},
     round(avg(SentimentRatio), 2) AS MeanSentimentRatio,
     round(coalesce(stddev_pop(SentimentRatio), 0.0), 2) AS StdevSentimentRatio
   FROM s6 GROUP BY 1, 2
@@ -379,23 +476,45 @@ SELECT * FROM s7 WHERE Basic8Score >= {min_basic8}
 # ---------------------------------------------------------------------------
 # statstoryrank — latest-snapshot impact + cntFb ranks (:426-482)
 # ---------------------------------------------------------------------------
-def statstoryrank_sql(lookback_days: int = STORYRANK_LOOKBACK) -> str:
+# s1 is read by BOTH s2 and s3 — same fragment pattern as the other
+# staged tables.
+def _storyrank_head_sql(lookback_days: int) -> str:
     week = "concat(cast(year(d.PublicationTime) AS string), '_', lpad(cast(weekofyear(d.PublicationTime) AS string), 2, '0'))"
     return f"""
+SELECT d.PublicationDateId, d.DocumentHash,
+       date_format(d.PublicationTime, 'yyyy_MM') AS PubMonth,
+       {week} AS PubWeek,
+       substring(wrOrig.Title, 1, 1000) AS Title,
+       wrOrig.Url, wrOrig.Domain, wrOrig.Author
+FROM document d
+JOIN webresource wrOrig ON wrOrig.WebResourceHash = d.MainWebResourceHash
+WHERE cast(d.PublicationTime AS date) >=
+      date_sub((SELECT v.DateAsDate FROM vwlast7days v WHERE v.TimeMarker = 'T-1'), {lookback_days})
+"""
+
+
+def statstoryrank_sql(lookback_days: int = STORYRANK_LOOKBACK) -> str:
+    return f"""
 WITH s1 AS (
-  SELECT d.PublicationDateId, d.DocumentHash,
-         date_format(d.PublicationTime, 'yyyy_MM') AS PubMonth,
-         {week} AS PubWeek,
-         substring(wrOrig.Title, 1, 1000) AS Title,
-         wrOrig.Url, wrOrig.Domain, wrOrig.Author
-  FROM document d
-  JOIN webresource wrOrig ON wrOrig.WebResourceHash = d.MainWebResourceHash
-  WHERE cast(d.PublicationTime AS date) >=
-        date_sub((SELECT v.DateAsDate FROM vwlast7days v WHERE v.TimeMarker = 'T-1'), {lookback_days})
+{_storyrank_head_sql(lookback_days)}
 ),
-s2 AS (
+{_storyrank_tail_sql("s1")}"""
+
+
+def statstoryrank_df(spark, lookback_days: int = STORYRANK_LOOKBACK):
+    """Staged twin of ``spark.sql(statstoryrank_sql())`` — identical
+    rows; s1 computed once."""
+    from dataflow_opinion_analysis_spark.session import scratch_checkpoint
+
+    head = scratch_checkpoint(spark.sql(_storyrank_head_sql(lookback_days)))
+    head.createOrReplaceTempView("_storyrank_s1")
+    return spark.sql(f"WITH {_storyrank_tail_sql('_storyrank_s1')}")
+
+
+def _storyrank_tail_sql(s1: str) -> str:
+    return f"""s2 AS (
   SELECT s1.DocumentHash, max(impact.SnapshotDateId) AS LatestStatsDateId
-  FROM s1 JOIN statstoryimpact impact ON impact.DocumentHash = s1.DocumentHash
+  FROM {s1} s1 JOIN statstoryimpact impact ON impact.DocumentHash = s1.DocumentHash
   GROUP BY s1.DocumentHash
   ORDER BY max(impact.cntFb + impact.cntWRs) DESC, s1.DocumentHash
   LIMIT {TOP_STORY_LIMIT}
@@ -408,7 +527,7 @@ s3 AS (
     impact.cntWRs, impact.cntDomains, impact.cntFb,
     array_join(impact.Domains, ',') AS Domains,
     array_join(impact.Urls, ',')    AS Urls
-  FROM s1
+  FROM {s1} s1
   JOIN s2 ON s2.DocumentHash = s1.DocumentHash
   JOIN statstoryimpact impact
     ON impact.DocumentHash = s2.DocumentHash AND impact.SnapshotDateId = s2.LatestStatsDateId
@@ -598,6 +717,30 @@ def stats_sql(name: str, domainopinions_min_docs: int = MIN_DOMAIN_DOCS,
     raise KeyError(name)
 
 
+def stats_df(spark: SparkSession, name: str,
+             domainopinions_min_docs: int = MIN_DOMAIN_DOCS,
+             domainopinions_min_basic8: float = MIN_BASIC8) -> DataFrame:
+    """DataFrame builder for one stats table — the staged runners for the
+    four tables whose SQL multi-references an expensive CTE (Catalyst
+    re-expands a CTE once per reference, so the one-shot texts ran
+    SentimentTags / s1 / the s1..s3 chain twice), ``spark.sql`` of the
+    unchanged text for the rest. Rows identical either way (the staged
+    twins differ only by a materialization barrier)."""
+    if name == "stattopic":
+        return stattopic_df(spark)
+    if name == "statstoryimpact":
+        return statstoryimpact_df(spark)
+    if name == "statdomainopinions":
+        return statdomainopinions_df(
+            spark, domainopinions_min_docs, domainopinions_min_basic8
+        )
+    if name == "statstoryrank":
+        return statstoryrank_df(spark)
+    return spark.sql(
+        stats_sql(name, domainopinions_min_docs, domainopinions_min_basic8)
+    )
+
+
 # gate projections over the materialized views — arrays stringified
 # (both sides build them pre-sorted), column names identical to the
 # DuckDB mirrors in oracles_stats.GATE_SELECTS
@@ -691,8 +834,8 @@ def build_stats(
         if name == "wrsocialcount" and social_counts is not None:
             df = social_counts
         else:
-            df = spark.sql(
-                stats_sql(name, domainopinions_min_docs, domainopinions_min_basic8)
+            df = stats_df(
+                spark, name, domainopinions_min_docs, domainopinions_min_basic8
             )
         if store_root is not None:
             path = f"{store_root}/{name}"

@@ -51,6 +51,18 @@ def daily_sql(name: str, p_sql: str) -> str:
     raise KeyError(f"not a daily-snapshot table: {name}")
 
 
+def daily_df(spark: SparkSession, name: str, p_sql: str) -> DataFrame:
+    """Staged twin of ``spark.sql(daily_sql(name, p_sql))`` — identical
+    rows; the multi-referenced CTE (SentimentTags / s1) runs once per
+    refresh instead of once per reference (plans/stats.py staged
+    runners)."""
+    if name == "stattopic":
+        return stats.stattopic_df(spark, p_sql)
+    if name == "statstoryimpact":
+        return stats.statstoryimpact_df(spark, p_sql)
+    raise KeyError(f"not a daily-snapshot table: {name}")
+
+
 class DailyStatsStore:
     """Partitioned-parquet home of one daily stats table with
     DELETE+INSERT per-day commits (dynamic partition overwrite)."""
@@ -64,21 +76,21 @@ class DailyStatsStore:
 
     def run_for_days(self, date_ids: list[int]) -> int:
         """Recompute + overwrite exactly these SnapshotDateId partitions."""
-        return self._commit(daily_sql(self.name, _p_sql_for_days(date_ids)))
+        return self._commit(daily_df(self.spark, self.name, _p_sql_for_days(date_ids)))
 
     def run_for_markers(self, markers: list[str]) -> int:
         """Recompute the TimeMarker days (vwlast7days view must be
         registered), e.g. markers=['T-1'] for the nightly run."""
-        return self._commit(daily_sql(self.name, _p_sql_for_markers(markers)))
+        return self._commit(daily_df(self.spark, self.name, _p_sql_for_markers(markers)))
 
-    def _commit(self, sql: str) -> int:
+    def _commit(self, df: DataFrame) -> int:
         # cluster by the partition column before the partitioned write:
         # without it every shuffle partition holds rows of every affected
         # day and the dynamic overwrite emits (#shuffle partitions x #days)
         # tiny files (~8k files for a 131-day refresh at sf1.0, 24-26s);
         # clustered, each day is one task's contiguous write (guide §6
         # output file sizing). Rows are identical, only the layout changes.
-        df = self.spark.sql(sql).repartition("SnapshotDateId")
+        df = df.repartition("SnapshotDateId")
         prev = self.spark.conf.get("spark.sql.sources.partitionOverwriteMode", "static")
         self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         try:
