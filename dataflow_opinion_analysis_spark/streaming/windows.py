@@ -303,9 +303,16 @@ def run_windowed_agg_table(
         # materialize the micro-batch ONCE (localCheckpoint runs every
         # partition of the stateful plan, which Spark's state-store
         # commit validation requires, and merge's several consumers then
-        # read the checkpoint instead of re-running the aggregate)
+        # read the checkpoint instead of re-running the aggregate).
+        # assume_new: in APPEND output mode a (window_start, event_type)
+        # key is emitted exactly once — when the watermark passes the
+        # window end — and never again (its state row is dropped), so
+        # cross-batch key disjointness is guaranteed upstream; replays
+        # are fenced by batch id. The merge is then one narrow write
+        # instead of bounds-agg + history anti-join per trigger, with
+        # the HLL duplicate tripwire still armed.
         frame = df.localCheckpoint(eager=True)
-        table.merge(frame, bid)
+        table.merge(frame, bid, assume_new=True)
 
     q = (
         sdf.writeStream.foreachBatch(_fb)

@@ -546,8 +546,14 @@ class MergeTable:
                     F.max(self.partition_col).alias("hi"),
                 ]
             if assume_unique:
+                # sketch the FULL key tuple: a composite-keyed table
+                # (e.g. (window_start, event_type)) is key-unique while
+                # any single column repeats, so a first-column-only
+                # sketch false-positives on perfectly valid batches
                 obs_aggs.append(
-                    F.approx_count_distinct(self.key_cols[0]).alias("n_keys")
+                    F.approx_count_distinct(
+                        F.struct(*[F.col(c) for c in self.key_cols])
+                    ).alias("n_keys")
                 )
             obs = Observation()
             w = w.observe(obs, *obs_aggs)
@@ -568,7 +574,7 @@ class MergeTable:
                     raise ValueError(
                         f"assume_unique violated on {self.path}: wrote "
                         f"{wrow['n']} rows but only ~{wrow['n_keys']} distinct "
-                        f"{self.key_cols[0]} values; batch NOT committed"
+                        f"{tuple(self.key_cols)} tuples; batch NOT committed"
                     )
         finally:
             if persist_needed:
